@@ -1,0 +1,100 @@
+"""Convolution blocks (NHWC), torch-parity semantics."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from vst.nn.init import conv_kernel_torch_default, conv_bias_torch_default
+from vst.ops.image import reflect_pad, resize_nearest
+
+
+class TorchConv(nn.Module):
+    """nn.Conv with torch Conv2d default init and explicit symmetric padding.
+
+    padding: int (symmetric zero-pad, torch ``padding=p``) or 'VALID'.
+    kernel_size may be an (kh, kw) tuple (RAFT SepConvGRU uses (1,5)/(5,1)).
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]]
+    stride: int = 1
+    padding: Union[int, Tuple[int, int], str] = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ks = self.kernel_size
+        if isinstance(ks, int):
+            ks = (ks, ks)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        elif isinstance(pad, tuple):
+            pad = ((pad[0], pad[0]), (pad[1], pad[1]))
+        fan_in = ks[0] * ks[1] * x.shape[-1]
+        return nn.Conv(
+            self.features,
+            ks,
+            strides=(self.stride, self.stride),
+            padding=pad if not isinstance(pad, str) else pad,
+            use_bias=self.use_bias,
+            kernel_init=conv_kernel_torch_default,
+            bias_init=conv_bias_torch_default(fan_in),
+        )(x)
+
+
+class ConvLayer(nn.Module):
+    """Reflection-padded convolution, parity with
+    ``methods/learning-based/network.py:97-108`` (pad = ⌊k/2⌋ reflect, then
+    VALID conv with the given stride)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = self.kernel_size // 2
+        x = reflect_pad(x, pad)
+        return TorchConv(
+            self.features, self.kernel_size, stride=self.stride,
+            padding="VALID", use_bias=self.use_bias,
+        )(x)
+
+
+class UpsampleConvLayer(nn.Module):
+    """Nearest-upsample then reflection-padded conv, parity with
+    ``network.py:173-191`` (avoids transposed-conv checkerboard)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    upsample: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.upsample:
+            x = resize_nearest(x, self.upsample)
+        pad = self.kernel_size // 2
+        x = reflect_pad(x, pad)
+        return TorchConv(
+            self.features, self.kernel_size, stride=self.stride, padding="VALID"
+        )(x)
+
+
+class ConvTanh(nn.Module):
+    """Output head, parity with ``network.py:111-118``:
+    tanh(conv(x)/255)·150 + 127.5 — outputs roughly [−22.5, 277.5] pixels."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out = ConvLayer(self.features, self.kernel_size, stride=self.stride)(x)
+        return jnp.tanh(out / 255.0) * 150.0 + 255.0 / 2.0
