@@ -1,11 +1,24 @@
 """Test config: force JAX onto a virtual 8-device CPU mesh.
 
-Must run before the first `import jax` anywhere in the test process.
+Something in this environment imports jax at interpreter startup, so setting
+JAX_PLATFORMS via os.environ here is too late — use jax.config.update, which
+takes effect any time before the first backend is initialized. XLA_FLAGS is
+read at backend creation, so setting it here still works.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    assert jax.devices()[0].platform == "cpu", (
+        "tests must run on the virtual CPU mesh, got " + str(jax.devices())
+    )
+    assert jax.device_count() == 8

@@ -71,7 +71,9 @@ class ConditionalInstanceNorm(nn.Module):
 
         embed = self.param("embed", emb_init, (self.num_styles, 2 * c))
         sid = jnp.asarray(style_id, dtype=jnp.int32)
-        gb = jnp.take(embed, sid, axis=0)  # (2C,)
+        # mode="clip": out-of-range style ids clamp to the last style instead
+        # of jnp.take's default NaN fill (silent garbage under jit).
+        gb = jnp.take(embed, sid, axis=0, mode="clip")  # (2C,)
         gamma, beta = gb[:c], gb[c:]
         return gamma * out + beta
 
