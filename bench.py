@@ -1,0 +1,80 @@
+"""vst benchmark — styled frames/sec/chip on the north-star workload.
+
+Workload (BASELINE.md): Johnson FastStyleNet per-frame stylization at Sintel
+resolution 436×1024 (the reference's DT benchmark,
+``methods/learning-based/eval_sintel/johnson/DT.json``: 5.87 ms/frame ≈
+170 fps on an RTX 2080; north-star ≥60 fps/chip). Prints ONE JSON line.
+
+Timing note: on the tunneled TPU platform ``block_until_ready`` returns
+before remote execution finishes, so we time a CHAINED loop (each iteration
+consumes the previous output) ended by a scalar fetch — dispatch cannot run
+ahead of the device and the final sum forces a full sync.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+REF_FPS = 1000.0 / 5.87  # reference Johnson DT → 170.4 fps
+
+
+def _measure(model, dtype, batch, H, W, iters=20):
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3), dtype), 1.0, 0
+    )["params"]
+    params = jax.tree.map(lambda x: x.astype(dtype), params)
+
+    @jax.jit
+    def stylize(p, img):
+        _, out = model.apply({"params": p}, img, 1.0, 0)
+        return jnp.clip(out / 255.0, 0.0, 1.0)
+
+    img = jnp.asarray(np.random.RandomState(0).rand(batch, H, W, 3)).astype(dtype)
+    x = stylize(params, img)
+    float(x.sum())  # compile + full sync
+    t0 = time.perf_counter()
+    x = img
+    for _ in range(iters):
+        x = stylize(params, x)
+    float(x.sum())  # sync
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt, dt * 1000.0 / batch
+
+
+def main():
+    from vst.models.faststyle import FastStyleNet
+
+    H, W = 436, 1024
+    model = FastStyleNet(n_styles=3)
+
+    configs = [
+        ("f32_b1", jnp.float32, 1),
+        ("bf16_b1", jnp.bfloat16, 1),
+        ("bf16_b4", jnp.bfloat16, 4),
+    ]
+    results = {}
+    for name, dtype, batch in configs:
+        fps, ms = _measure(model, dtype, batch, H, W)
+        results[name] = (fps, ms)
+
+    best_name = max(results, key=lambda k: results[k][0])
+    best_fps, _ = results[best_name]
+    lat_ms = results["f32_b1"][1]
+
+    out = {
+        "metric": "styled_frames_per_sec_per_chip_436x1024_johnson",
+        "value": round(best_fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(best_fps / REF_FPS, 3),
+        "latency_ms_f32_b1": round(lat_ms, 3),
+        "best_config": best_name,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

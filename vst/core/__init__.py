@@ -1,0 +1,6 @@
+"""vst.core — config, rng, checkpointing, precision, logging."""
+
+from vst.core.checkpoint import Checkpointer
+from vst.core.metrics import MetricsLogger, save_json, aggregate_means
+
+__all__ = ["Checkpointer", "MetricsLogger", "save_json", "aggregate_means"]

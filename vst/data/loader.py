@@ -1,0 +1,102 @@
+"""Host→device input pipeline.
+
+The reference moves tensors to the GPU inside ``__getitem__``
+(``methods/learning-based/datasets.py:75-77``), forcing num_workers=0 — the
+single biggest throughput sin in the original (SURVEY.md §7 hard part #5).
+Here the host thread prepares numpy batches ahead of time and
+``jax.device_put``s them with the batch axis sharded over the mesh, double
+buffered so the device never waits on input.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+import queue as queue_mod
+from typing import Callable, Iterator, Optional
+
+import jax
+
+from vst.parallel.mesh import batch_sharding
+
+
+def prefetch_to_mesh(
+    batch_iter: Iterator,
+    mesh,
+    depth: int = 2,
+):
+    """Wrap a host batch iterator with background prefetch + sharded
+    device_put. Yields device-resident pytrees with the leading axis sharded
+    over the mesh's data axis."""
+    sharding = batch_sharding(mesh)
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in batch_iter:
+                dev = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, sharding), batch
+                )
+                q.put(dev)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+
+
+class NpyDirDataset:
+    """FC2/HW2/CO2-style directory of per-sample ``.npy`` files.
+
+    FC2 packing (``datasets.py:52-54``): (1, H, W, 9) channelwise =
+    img1(3) ⊕ img2(3) ⊕ mask(1) ⊕ backward flow(2). Emits dict batches in the
+    vst layout: imgs (B, 2, H, W, 3), masks (B, 1, H, W, 1),
+    flows (B, 1, H, W, 2).
+    """
+
+    def __init__(self, data_dir: str, batch_size: int, seed: int = 0,
+                 expected_size: Optional[int] = None):
+        import os
+        import numpy as np
+
+        self.data_dir = data_dir
+        self.files = sorted(os.listdir(data_dir))
+        if expected_size is not None:
+            assert len(self.files) == expected_size, (
+                f"dataset size {len(self.files)} != expected {expected_size}"
+            )
+        self.batch_size = batch_size
+        self.length = (len(self.files) // batch_size) * batch_size
+        self._rng = __import__("numpy").random.RandomState(seed)
+
+    def __len__(self):
+        return self.length // self.batch_size
+
+    def epoch(self, shuffle: bool = True):
+        import os
+        import numpy as np
+
+        order = np.arange(self.length)
+        if shuffle:
+            self._rng.shuffle(order)
+        bs = self.batch_size
+        for i in range(0, self.length, bs):
+            imgs, masks, flows = [], [], []
+            for j in order[i: i + bs]:
+                data = np.load(os.path.join(self.data_dir, self.files[j]))
+                x = data[0]
+                imgs.append(np.stack([x[..., 0:3], x[..., 3:6]]))
+                masks.append(x[..., 6:7][None])
+                flows.append(x[..., 7:9][None])
+            yield {
+                "imgs": np.stack(imgs).astype(np.float32),
+                "masks": np.stack(masks).astype(np.float32),
+                "flows": np.stack(flows).astype(np.float32),
+            }
