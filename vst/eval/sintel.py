@@ -1,0 +1,203 @@
+"""Sintel video eval harness: TCL-ST / TCL-LT / DT.
+
+Parity with ``utils/sintel_eval.py:142-233`` (and its per-method clones):
+per video × per style, stylize every frame (timed → DT), estimate RAFT flow
+between the current and the previous (ST) / 5-back (LT) frame, build the
+fb-consistency mask, backward-warp the re-stylized earlier frame and take
+the RMS masked difference.
+
+Faithful quirks reproduced (PARITY.md):
+* frames are cropped to height 432 (``SingleSintelVideo.__getitem__``
+  ``[:, :432, :]``) so dims are /8;
+* ``computeTCL`` RE-STYLIZES the earlier frame inside the metric
+  (``sintel_eval.py:109``) instead of caching the previous output;
+* the StarGAN-family harness feeds [−1, 1]-normalized frames straight into
+  RAFT, which then applies its own ``2·(x/255)−1`` — RAFT effectively sees a
+  ~0.008-contrast image (instance-norm feature encoding partially rescues
+  it). The committed reference numbers embed this, so ``raft_preprocess``
+  defaults to identity on whatever range the caller's pipeline uses.
+
+TPU-native structure: stylize + RAFT (fwd & bwd) + mask + warp + TCL compile
+into ONE jitted program per (resolution, style) — no host round-trips inside
+the per-frame loop; DT uses chained timing (dispatch-async-safe).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vst.ops.flowtools import fbc_mask
+from vst.ops.sample import warp
+from vst.ops.image import InputPadder
+from vst.core.metrics import save_json, aggregate_means
+
+
+class SintelVideo:
+    """One video's frames in memory: (N, H, W, 3) float32 [0, 1], H=432."""
+
+    def __init__(self, name: str, frames: np.ndarray):
+        self.name = name
+        self.frames = frames
+
+    def __len__(self):
+        return self.frames.shape[0]
+
+
+def load_sintel_videos(sintel_dir: str, crop_h: int = 432) -> List[SintelVideo]:
+    """Load training/final + test/final videos, frame lists sorted
+    (sintel_eval.py:156-167; frames cropped to 432 rows like
+    SingleSintelVideo)."""
+    import imageio.v2 as imageio
+
+    videos = []
+    for split in ("training", "test"):
+        base = os.path.join(sintel_dir, split, "final")
+        if not os.path.isdir(base):
+            continue
+        for vid in sorted(os.listdir(base)):
+            vdir = os.path.join(base, vid)
+            frames = []
+            for fid in sorted(os.listdir(vdir)):
+                img = imageio.imread(os.path.join(vdir, fid)).astype(np.float32) / 255.0
+                frames.append(img[:crop_h])
+            videos.append(SintelVideo(vid, np.stack(frames)))
+    return videos
+
+
+def make_tcl_program(
+    stylize_fn: Callable,
+    raft_apply: Callable,
+    raft_iters: int = 20,
+    raft_preprocess: Optional[Callable] = None,
+):
+    """Build the fused per-frame eval program.
+
+    stylize_fn(img, style) → stylized frame (same spatial dims); both img and
+    output in the caller's pipeline range. style is an arbitrary pytree
+    (style id, style code, ...).
+    raft_apply(img1, img2) → upsampled flow (B, H, W, 2); caller binds params
+    and iteration count.
+    raft_preprocess maps pipeline-range frames to whatever the method family
+    feeds RAFT (identity default — see module docstring on the [−1,1] quirk).
+
+    Returns jitted ``tcl(img, img_earlier, style) → (x_fake, tcl)`` and
+    jitted ``stylize(img, style) → x_fake``.
+    """
+    prep = raft_preprocess or (lambda x: x)
+
+    def compute_raft(img1, img2):
+        padder = InputPadder(img1.shape)
+        i1, i2 = padder.pad(prep(img1), prep(img2))
+        _, flow_up = raft_apply(i1, i2)
+        return padder.unpad(flow_up)
+
+    def tcl(img, img2, style):
+        """computeTCL parity (sintel_eval.py:104-110): img = current frame,
+        img2 = earlier frame."""
+        x_fake = stylize_fn(img, style)
+        ff = compute_raft(img2, img)
+        bf = compute_raft(img, img2)
+        mask = fbc_mask(ff, bf)
+        warped = warp(stylize_fn(img2, style), bf)
+        val = jnp.sqrt(jnp.mean((mask * (x_fake - warped)) ** 2))
+        return x_fake, val
+
+    def stylize(img, style):
+        return stylize_fn(img, style)
+
+    return jax.jit(tcl), jax.jit(stylize)
+
+
+def evaluate_videos(
+    videos: Sequence[SintelVideo],
+    stylize_fn: Callable,
+    raft_apply: Callable,
+    styles: Sequence,
+    out_path: Optional[str] = None,
+    lt_len: int = 5,
+    frame_transform: Optional[Callable] = None,
+    raft_preprocess: Optional[Callable] = None,
+    save_frames: bool = False,
+    dt_iters: int = 10,
+    num_domains: Optional[int] = None,
+) -> Dict[str, Dict[str, float]]:
+    """Run the full Sintel benchmark.
+
+    ``styles``: list of style pytrees; style index d is reported as ``_s{d+1}``.
+    ``frame_transform``: maps [0,1] frames into the method's pipeline range
+    (e.g. ×2−1 for the GAN family). Returns {"TCL-ST": {...}, "TCL-LT": ...,
+    "DT": ...} dicts with reference-style aggregation; writes JSONs when
+    ``out_path`` given.
+    """
+    ft = frame_transform or (lambda x: x)
+    tcl_prog, stylize_prog = make_tcl_program(
+        stylize_fn, raft_apply, raft_preprocess=raft_preprocess
+    )
+
+    tcl_st: Dict[str, float] = {}
+    tcl_lt: Dict[str, float] = {}
+    dt: Dict[str, float] = {}
+
+    for video in videos:
+        frames = jnp.asarray(ft(video.frames))
+        n = len(video)
+        for d, style in enumerate(styles):
+            key = f"{video.name}_s{d + 1}"
+            st_vals, lt_vals = [], []
+
+            # DT: chained timing on the stylize program alone (the reference
+            # times only the generator call, sintel_eval.py:210-214)
+            x = frames[0:1]
+            _ = stylize_prog(x, style)
+            float(jnp.sum(_))
+            t0 = time.perf_counter()
+            for _i in range(dt_iters):
+                x = stylize_prog(x, style)
+            float(jnp.sum(x))
+            dt_ms = (time.perf_counter() - t0) / dt_iters * 1000.0
+
+            for i in range(n):
+                img = frames[i:i + 1]
+                if i > 0:
+                    _, v = tcl_prog(img, frames[i - 1:i], style)
+                    st_vals.append(float(v))
+                if i >= lt_len:
+                    _, v = tcl_prog(img, frames[i - lt_len:i - lt_len + 1], style)
+                    lt_vals.append(float(v))
+                if save_frames and out_path:
+                    x_fake = np.asarray(stylize_prog(img, style))[0]
+                    _save_frame(x_fake, os.path.join(out_path, key, f"frame_{i:04d}.png"))
+
+            tcl_st[f"TCL-ST_{key}"] = float(np.mean(st_vals)) if st_vals else 0.0
+            tcl_lt[f"TCL-LT_{key}"] = float(np.mean(lt_vals)) if lt_vals else 0.0
+            dt[f"DT_{key}"] = dt_ms
+
+    nd = (num_domains or len(styles) + 1) - 1
+    results = {}
+    for out_id, data in (("TCL-ST", tcl_st), ("TCL-LT", tcl_lt), ("DT", dt)):
+        agg = aggregate_means(
+            {k: v for k, v in data.items()}, num_styles=nd
+        )
+        # reference naming: "<ID>_mean" instead of bare "_mean"
+        agg[f"{out_id}_mean"] = agg.pop("_mean")
+        for d in range(1, nd + 1):
+            if f"_mean_s{d}" in agg:
+                agg[f"{out_id}_mean_s{d}"] = agg.pop(f"_mean_s{d}")
+        results[out_id] = agg
+        if out_path:
+            save_json(agg, os.path.join(out_path, out_id + ".json"), aggregate=False)
+    return results
+
+
+def _save_frame(x: np.ndarray, path: str) -> None:
+    import imageio.v2 as imageio
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    img = np.clip(x, 0.0, 1.0)
+    imageio.imwrite(path, (img * 255).astype(np.uint8))
