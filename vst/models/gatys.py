@@ -1,0 +1,177 @@
+"""OBST — optimization-based style transfer (Gatys + temporal warm start).
+
+TPU-native rebuild of ``methods/optimization-based/obst_eval.py:236-410``:
+LBFGS descent on the image itself against a truncated caffe-VGG19's Gram
+targets, coarse-to-fine over a 3-level pyramid, with a masked
+temporal-consistency penalty inside the objective and warm starting from the
+warped previous stylized frame.
+
+Reference math reproduced:
+* style layers r21/r31/r41 with weights β/n² (β=100, n∈{128,256,512}),
+  content layer r42 weight 1 (obst_eval.py:262-274);
+* objective adds ``weight_tcl·mean((mask·(opt − warp))²)`` (:391);
+* pyramid iterate counts [50, 40, 30] (:241), each level bilinearly
+  upsampling the previous level's result (:370-371) and re-resizing the
+  content/warp/mask targets (:359-364, align_corners=False);
+* warm start ``pre = mask·warp(prev_styled, bf) + (1−mask)·img`` (:500).
+
+LBFGS under jit: ``optax.scale_by_lbfgs`` (history 100, unit step — torch's
+``optim.LBFGS`` default runs NO line search and steps lr·direction with
+lr=1) inside a ``lax.scan`` with a static per-level iteration count. One
+compiled program per pyramid level shape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from vst.perceptual.vgg import CaffeVGG, obst_prep
+from vst.ops.losses import gram_matrix
+from vst.ops.image import resize_bilinear
+from vst.ops.sample import warp
+
+STYLE_LAYERS = ("r21", "r31", "r41")
+CONTENT_LAYERS = ("r42",)
+STYLE_WEIGHTS = tuple(1e2 / n**2 for n in (128, 256, 512))
+CONTENT_WEIGHTS = (1e0,)
+
+PYR_FC2 = ((64, 64), (128, 128), (256, 256))
+PYR_SINTEL = ((109, 256), (218, 512), (436, 1024))
+MAX_ITERS = (50, 40, 30)
+
+
+class OBST:
+    """Owns the frozen VGG and compiled per-level LBFGS programs.
+
+    ``vgg_params``: converted ``vgg_conv.pth`` tree (caffe_vgg_params_from
+    _torch) or None for seeded init. All images are caffe-preprocessed BGR
+    ×255 tensors (use ``vst.perceptual.obst_prep``).
+    """
+
+    def __init__(self, vgg_params: Optional[dict] = None,
+                 max_iters: Sequence[int] = MAX_ITERS, seed: int = 0,
+                 memory_size: int = 100):
+        self.vgg = CaffeVGG(pool="max")
+        if vgg_params is None:
+            dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+            vgg_params = self.vgg.init(
+                jax.random.PRNGKey(seed), dummy, list(STYLE_LAYERS)
+            )["params"]
+        self.vgg_params = vgg_params
+        self.max_iters = tuple(max_iters)
+        self.memory_size = memory_size
+        self.style_targets: Optional[List[List[jnp.ndarray]]] = None
+        self._level_fns = {}
+
+    # -- style targets (obst_eval.py:324-340) -------------------------------
+
+    def set_style(self, style_img: np.ndarray, pyr_shapes: Sequence[Tuple[int, int]]):
+        """style_img: (H, W, 3) RGB [0,1]. Builds per-level Gram targets from
+        the style image resized to each pyramid shape."""
+        targets = []
+        for shape in pyr_shapes:
+            img = jnp.asarray(style_img)[None]
+            img = resize_bilinear(img, shape, align_corners=False)
+            x = obst_prep(img)
+            feats = self.vgg.apply({"params": self.vgg_params}, x, list(STYLE_LAYERS))
+            targets.append([gram_matrix(f) for f in feats])
+        self.style_targets = targets
+
+    # -- objective -----------------------------------------------------------
+
+    def _loss(self, opt_img, style_grams, content_feats, warp_img, mask_img,
+              weight_tcl):
+        feats = self.vgg.apply(
+            {"params": self.vgg_params}, opt_img,
+            list(STYLE_LAYERS) + list(CONTENT_LAYERS),
+        )
+        loss = 0.0
+        for w, f, g_t in zip(STYLE_WEIGHTS, feats[: len(STYLE_LAYERS)], style_grams):
+            loss += w * jnp.mean((gram_matrix(f) - g_t) ** 2)
+        for w, f, f_t in zip(CONTENT_WEIGHTS, feats[len(STYLE_LAYERS):], content_feats):
+            loss += w * jnp.mean((f - f_t) ** 2)
+        loss += weight_tcl * jnp.mean((mask_img * (opt_img - warp_img)) ** 2)
+        return loss
+
+    def _level_fn(self, shape: Tuple[int, int], iters: int):
+        """Compiled LBFGS descent at one pyramid level."""
+        key = (shape, iters)
+        if key in self._level_fns:
+            return self._level_fns[key]
+
+        tx = optax.chain(
+            optax.scale_by_lbfgs(memory_size=self.memory_size),
+            optax.scale(-1.0),
+        )
+
+        @jax.jit
+        def run(opt_img, style_grams, content_feats, warp_img, mask_img,
+                weight_tcl):
+            loss_fn = lambda x: self._loss(
+                x, style_grams, content_feats, warp_img, mask_img, weight_tcl
+            )
+            state = tx.init(opt_img)
+
+            def body(carry, _):
+                x, state = carry
+                loss, grad = jax.value_and_grad(loss_fn)(x)
+                updates, state = tx.update(
+                    grad, state, x, value=loss, grad=grad,
+                    value_fn=loss_fn,
+                )
+                x = optax.apply_updates(x, updates)
+                return (x, state), loss
+
+            (x, _), losses = jax.lax.scan(body, (opt_img, state), None, length=iters)
+            return x, losses
+
+        self._level_fns[key] = run
+        return run
+
+    # -- main entry (obst_eval.py:342-410) ------------------------------------
+
+    def run(self, pre, img, mask, pyr_shapes: Sequence[Tuple[int, int]],
+            weight_tcl: float = 0.0):
+        """pre: warm-start image (1, H, W, 3) caffe space at full res;
+        img: content image (same space/res); mask: (1, H, W, 1).
+        Returns the stylized image at pyr_shapes[-1]."""
+        assert self.style_targets is not None, "call set_style first"
+
+        wimg = pre
+        mimg = jnp.broadcast_to(mask, mask.shape[:3] + (3,))
+
+        warp_targets, mask_targets, content_targets = [], [], []
+        for shape in pyr_shapes:
+            warp_targets.append(resize_bilinear(wimg, shape, align_corners=False))
+            mask_targets.append(resize_bilinear(mimg, shape, align_corners=False))
+            c = resize_bilinear(img, shape, align_corners=False)
+            content_targets.append([
+                jax.lax.stop_gradient(f)
+                for f in self.vgg.apply({"params": self.vgg_params}, c,
+                                        list(CONTENT_LAYERS))
+            ])
+
+        opt_img = pre
+        for lvl, (shape, iters) in enumerate(zip(pyr_shapes, self.max_iters)):
+            opt_img = resize_bilinear(opt_img, shape, align_corners=False)
+            run = self._level_fn(shape, iters)
+            opt_img, _ = run(
+                opt_img,
+                self.style_targets[lvl],
+                content_targets[lvl],
+                warp_targets[lvl],
+                mask_targets[lvl],
+                weight_tcl,
+            )
+        return opt_img
+
+    def warm_start(self, prev_styled, img, bf, mask):
+        """obst_eval.py:500: ``pre = mask·warp(prev_styled, bf) + (1−mask)·img``."""
+        w = warp(prev_styled, bf)
+        return mask * w + (1.0 - mask) * img
