@@ -173,3 +173,28 @@ def test_mogan_steps():
         assert np.isfinite(float(em[k]))
     for k in ("AM_A", "AM_B"):
         assert np.isfinite(float(mm[k]))
+
+
+def test_congan_step():
+    """ConGAN: fusion blocks + rec3D second-order cycle + scalar soft mask."""
+
+    def stub_raft(i1, i2):
+        d = jnp.mean(i1 - i2, axis=-1, keepdims=True)
+        return None, jnp.concatenate([d, -d], axis=-1)
+
+    tr = _small_trainer("congan", raft_apply=stub_raft)
+    state = tr.init_state()
+    batch = {
+        "real_A": _img(20), "real_A2": _img(21),
+        "real_B": _img(22), "real_B2": _img(23),
+    }
+    step = tr.train_step()
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    for k in ("c3D_A", "c3D_B", "TCL_A"):
+        assert np.isfinite(float(m[k])) and float(m[k]) > 0, k
+    assert float(m["TCL_B"]) == 0.0
+    # fusion params updated with the G step (snapshot before donation)
+    a = np.asarray(jax.tree_util.tree_leaves(state.params["F_A"])[0]).copy()
+    state2, _ = step(state, batch, jax.random.PRNGKey(1))
+    b = np.asarray(jax.tree_util.tree_leaves(state2.params["F_A"])[0])
+    assert not np.allclose(a, b)

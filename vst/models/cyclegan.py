@@ -346,3 +346,21 @@ def image_pool_query(state, images, rng, pool_size: int = 50):
         per_image, (state["buffer"], state["count"]), (images, keys)
     )
     return {"buffer": buf, "count": cnt}, outs
+
+
+class FusionBlock(nn.Module):
+    """ConGAN fusion net — parity with
+    ``ConGAN/models/networks.py:659-715``: 3 reflect-pad convs (IN affine +
+    ReLU ×2, sigmoid head) on (styled − warped) → per-pixel mask m;
+    output = m·warped + (1−m)·styled."""
+
+    @nn.compact
+    def __call__(self, simg, wimg):
+        from vst.nn.conv import ConvLayer
+        from vst.nn.norm import InstanceNorm
+
+        h = simg - wimg
+        h = nn.relu(InstanceNorm(affine=True)(ConvLayer(32, 3)(h)))
+        h = nn.relu(InstanceNorm(affine=True)(ConvLayer(32, 3)(h)))
+        mask = nn.sigmoid(ConvLayer(1, 3)(h))
+        return mask * wimg + (1 - mask) * simg

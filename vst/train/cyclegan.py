@@ -59,7 +59,7 @@ def linear_lr_schedule(lr0: float, steps_per_epoch: int, n_epochs: int = 100,
 
 @dataclasses.dataclass
 class CycleGANConfig:
-    variant: str = "cyclegan"  # cyclegan | cyclegan_con | mogan
+    variant: str = "cyclegan"  # cyclegan | cyclegan_con | mogan | congan
     lambda_A: float = 10.0
     lambda_B: float = 10.0
     lambda_identity: float = 0.5
@@ -67,6 +67,8 @@ class CycleGANConfig:
     lambda_MC: float = 10.0   # mogan motion cycle
     lambda_MT: float = 10.0   # mogan motion translation
     lambda_AM: float = 1.0    # mogan auxiliary motion
+    lambda_TCL: float = 10.0  # congan fused temporal (A-side only)
+    lambda_c3D: float = 10.0  # congan cross-frame 3D cycle
     gan_mode: str = "lsgan"
     lr: float = 2e-4
     beta1: float = 0.5
@@ -104,6 +106,12 @@ class CycleGANTrainer:
             self.M_A = define_G(cfg.netG, 2, cfg.ngf)
             self.M_B = define_G(cfg.netG, 2, cfg.ngf)
             assert raft_apply is not None, "mogan needs a bound RAFT"
+        if cfg.variant == "congan":
+            from vst.models.cyclegan import FusionBlock
+
+            self.F_A = FusionBlock()
+            self.F_B = FusionBlock()
+            assert raft_apply is not None, "congan needs a bound RAFT"
         self.raft_apply = raft_apply
         self.image_hw = image_hw
 
@@ -131,7 +139,14 @@ class CycleGANTrainer:
         if self.cfg.variant == "mogan":
             params["M_A"] = self.M_A.init(ks[4], flow)["params"]
             params["M_B"] = self.M_B.init(ks[5], flow)["params"]
-        g_sub = {k: v for k, v in params.items() if k.startswith("G")}
+        if self.cfg.variant == "congan":
+            params["F_A"] = self.F_A.init(ks[4], img, img)["params"]
+            params["F_B"] = self.F_B.init(ks[5], img, img)["params"]
+        # congan: the fusion nets step together with G off the same backward
+        # (ConGAN cycle_gan_model.py:313-316 — optimizer_F.step after
+        # backward_G); including F in the G subset is adam-equivalent
+        g_sub = {k: v for k, v in params.items()
+                 if k.startswith("G") or k.startswith("F")}
         d_sub = {k: v for k, v in params.items() if k.startswith("D")}
         m_sub = {k: v for k, v in params.items() if k.startswith("M")}
         return CycleGANState(
@@ -199,6 +214,45 @@ class CycleGANTrainer:
             ) * cfg.lambda_T
             total = total + losses["G_T"]
 
+        if cfg.variant == "congan":
+            # ConGAN forward_train + backward_G
+            # (ConGAN/models/cycle_gan_model.py:160-308). RAFT flows are
+            # no_grad in the reference (:128-134) → stop_gradient. The VGG
+            # semantic loss is wired but zeroed (:295-296) — we skip the
+            # dead compute; the scalar soft mask exp(−50·mean|simg−wimg|)
+            # (:136-137) and the zeroed B-side TCL (:299) are kept.
+            real_A2, real_B2 = batch["real_A2"], batch["real_B2"]
+            fake_B2 = self._g_apply("G_A", p, real_A2)
+            fake_A2 = self._g_apply("G_B", p, real_B2)
+
+            sg = jax.lax.stop_gradient
+            bf_real_A = sg(self._compute_raft(real_A2, real_A))
+            warp_B = warp(fake_B, bf_real_A)
+            fuse_B = self.F_A.apply({"params": p["F_A"]}, fake_B2, warp_B)
+            mask_A = jnp.exp(-50.0 * jnp.mean(jnp.abs(real_A2 - warp(real_A, bf_real_A))))
+            bf_fake_B = sg(self._compute_raft(fuse_B, fake_B))
+            rec3D_A2 = self.F_B.apply(
+                {"params": p["F_B"]},
+                self._g_apply("G_B", p, fuse_B),
+                warp(fake_B, bf_fake_B),
+            )
+
+            bf_real_B = sg(self._compute_raft(real_B2, real_B))
+            warp_A = warp(fake_A, bf_real_B)
+            fuse_A = self.F_B.apply({"params": p["F_B"]}, fake_A2, warp_A)
+            bf_fake_A = sg(self._compute_raft(fuse_A, fake_A))
+            rec3D_B2 = self.F_A.apply(
+                {"params": p["F_A"]},
+                self._g_apply("G_A", p, fuse_A),
+                warp(fake_A, bf_fake_A),
+            )
+
+            losses["c3D_A"] = jnp.mean(jnp.abs(rec3D_A2 - real_A2)) * cfg.lambda_c3D
+            losses["c3D_B"] = jnp.mean(jnp.abs(rec3D_B2 - real_B2)) * cfg.lambda_c3D
+            losses["TCL_A"] = jnp.mean(mask_A * jnp.abs(fuse_B - warp_B)) * cfg.lambda_TCL
+            losses["TCL_B"] = jnp.zeros(())  # disabled in the reference (:299)
+            total = total + losses["c3D_A"] + losses["c3D_B"] + losses["TCL_A"]
+
         if cfg.variant == "mogan":
             real_A2, real_B2 = batch["real_A2"], batch["real_B2"]
             fake_B2 = self._g_apply("G_A", p, real_A2)
@@ -256,7 +310,8 @@ class CycleGANTrainer:
 
         def step(state: CycleGANState, batch, rng):
             params = state.params
-            g_params = {k: v for k, v in params.items() if k.startswith("G")}
+            g_params = {k: v for k, v in params.items()
+                        if k.startswith("G") or k.startswith("F")}
             d_params = {k: v for k, v in params.items() if k.startswith("D")}
 
             aux = {}
