@@ -1,0 +1,46 @@
+"""vst.kernels: exactness of the fast compute paths."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vst.kernels.s2d_conv import s2d_conv2d
+
+
+@pytest.mark.parametrize("k,f,ci,co,hw", [
+    (9, 4, 3, 32, (48, 64)),
+    (9, 2, 3, 32, (48, 64)),
+    (9, 4, 32, 3, (40, 40)),   # the ConvTanh head shape
+    (7, 4, 3, 16, (33, 41)),   # odd spatial dims
+])
+def test_s2d_conv_exact(k, f, ci, co, hw):
+    rng = np.random.RandomState(k * f)
+    x = jnp.asarray(rng.randn(2, hw[0] + k - 1, hw[1] + k - 1, ci).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, k, ci, co).astype(np.float32) * 0.1)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = s2d_conv2d(x, w, f=f)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_s2d_conv_gradients_flow():
+    """The kernel rearrangement must be differentiable wrt the original w."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 20, 20, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(9, 9, 3, 4).astype(np.float32) * 0.1)
+
+    def loss_fast(w):
+        return jnp.sum(s2d_conv2d(x, w, f=4) ** 2)
+
+    def loss_ref(w):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.sum(y ** 2)
+
+    g_fast = jax.grad(loss_fast)(w)
+    g_ref = jax.grad(loss_ref)(w)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-4)

@@ -1,0 +1,405 @@
+"""One entry point per workload (replacing the reference's per-method
+argparse mains + SLURM scripts, SURVEY §2 L6). Config-file-free: every flag
+is explicit; datasets fall back to the synthetic generators when no path is
+given so every command runs end-to-end out of the box.
+
+Commands:
+  train-faststyle   Johnson/Dumoulin/Huang/ReCoNet/Ruder perceptual training
+  train-cyclegan    CycleGAN / +Con / MoGAN / ConGAN
+  train-stargan     StarGAN v1 (WGAN-GP)
+  train-stargan2    StarGAN v2 (Adv / AdvCon)
+  eval-sintel       TCL-ST/LT/DT video benchmark
+  datagen-fc2       Pack FC2-style .npy training tuples (affine motion)
+  datagen-styled    Gatys batch styler → styled-files layout
+  bench             The frames/sec/chip benchmark (same as root bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. 'cpu'); this environment "
+                        "pins the backend at interpreter startup, so the "
+                        "JAX_PLATFORMS env var is ignored — use this flag")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--hw", type=int, nargs=2, default=(64, 64))
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out-dir", type=str, default="runs/latest")
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--ckpt-every", type=int, default=1000)
+    p.add_argument("--data-dir", type=str, default=None,
+                   help="FC2 DATAFiles dir; synthetic batches if omitted")
+
+
+def cmd_train_faststyle(args):
+    import jax
+    import jax.numpy as jnp
+
+    from vst.core import Checkpointer, MetricsLogger
+    from vst.data.styles import load_style_images
+    from vst.data.synthetic import synthetic_batch
+    from vst.data.loader import NpyDirDataset
+    from vst.train.registry import select_method
+    from vst.train.faststyle import FastStyleTrainer
+
+    cfg = select_method(args.method, n_styles=args.n_styles,
+                        batch_size=args.batch_size,
+                        n_frames=3 if args.method == "ruder" else 2)
+    styles = load_style_images(args.style_dir, size=256)[:max(args.n_styles, 1)]
+    trainer = FastStyleTrainer(cfg, styles, seed=args.seed)
+
+    def batches():
+        if args.data_dir:
+            ds = NpyDirDataset(args.data_dir, args.batch_size)
+            while True:
+                for b in ds.epoch():
+                    # loader emits 2-frame tuples; ruder needs n_frames
+                    yield b
+        else:
+            i = 0
+            while True:
+                yield synthetic_batch(args.batch_size, hw=tuple(args.hw),
+                                      n_frames=cfg.n_frames, seed=args.seed + i)
+                i += 1
+
+    it = batches()
+    first = {k: jnp.asarray(v) for k, v in next(it).items()}
+    state = trainer.init_state(first)
+    step_fn = trainer.train_step()
+    logger = MetricsLogger(f"{args.out_dir}/losses.txt")
+    ckpt = Checkpointer(args.out_dir)
+    rng = jax.random.PRNGKey(args.seed)
+
+    batch = first
+    for i in range(args.steps):
+        rng, sub = jax.random.split(rng)
+        sid = int(np.random.randint(args.n_styles)) if args.n_styles > 1 else 0
+        state, metrics = step_fn(state, batch, sid, sub)
+        if (i + 1) % args.log_every == 0:
+            logger.log(i + 1, **{k: float(v) for k, v in metrics.items()})
+            print(f"[{i + 1}/{args.steps}] " + " ".join(
+                f"{k}: {float(v):.4f}" for k, v in metrics.items()))
+        if (i + 1) % args.ckpt_every == 0 or i + 1 == args.steps:
+            ckpt.save(i + 1, params=state.params)
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    logger.save_curves(f"{args.out_dir}/loss_list.npy")
+
+
+def cmd_train_cyclegan(args):
+    import jax
+    import jax.numpy as jnp
+
+    from vst.core import Checkpointer, MetricsLogger
+    from vst.data.fc2 import synthetic_fc2_batches
+    from vst.train.cyclegan import CycleGANConfig, CycleGANTrainer
+
+    raft_apply = None
+    if args.variant in ("mogan", "congan"):
+        raft_apply = _make_raft(args)
+    cfg = CycleGANConfig(variant=args.variant, ngf=args.ngf, ndf=args.ndf,
+                         steps_per_epoch=max(args.steps // 2, 1))
+    trainer = CycleGANTrainer(cfg, image_hw=tuple(args.hw),
+                              raft_apply=raft_apply, seed=args.seed)
+    state = trainer.init_state(args.seed)
+    e_step = trainer.train_step()
+    m_step = trainer.m_step() if args.variant == "mogan" else None
+    logger = MetricsLogger(f"{args.out_dir}/losses.txt")
+    ckpt = Checkpointer(args.out_dir)
+    rng = jax.random.PRNGKey(args.seed)
+
+    i = 0
+    while i < args.steps:
+        for b in synthetic_fc2_batches(4, args.batch_size, hw=tuple(args.hw),
+                                       num_dom=2, seed=args.seed + i):
+            batch = {
+                "real_A": jnp.asarray(b["x_src"]),
+                "real_A2": jnp.asarray(b["x2_src"]),
+                "real_B": jnp.asarray(b["x_ref"]),
+                "real_B2": jnp.asarray(b["x_ref"]),
+                "mask": jnp.asarray(b["mask"]),
+                "flow": jnp.asarray(b["flow"]),
+            }
+            rng, sub = jax.random.split(rng)
+            if m_step is not None and i % 2 == 1:
+                state, metrics = m_step(state, batch)
+            else:
+                state, metrics = e_step(state, batch, sub)
+            i += 1
+            if i % args.log_every == 0:
+                logger.log(i, **{k: float(v) for k, v in metrics.items()})
+                print(f"[{i}/{args.steps}] G: {float(metrics.get('G', 0)):.3f}")
+            if i % args.ckpt_every == 0 or i == args.steps:
+                ckpt.save(i, params=state.params)
+            if i >= args.steps:
+                break
+
+
+def cmd_train_stargan(args):
+    import jax
+    import jax.numpy as jnp
+
+    from vst.core import Checkpointer, MetricsLogger
+    from vst.data.fc2 import synthetic_fc2_batches
+    from vst.train.stargan import StarGANConfig, StarGANTrainer
+
+    cfg = StarGANConfig(c_dim=args.num_domains, image_size=args.hw[0],
+                        conv_dim=args.conv_dim, repeat_num=args.repeat_num,
+                        n_critic=args.n_critic)
+    trainer = StarGANTrainer(cfg, seed=args.seed)
+    from vst.models.stargan import Discriminator
+
+    d_repeat = min(cfg.repeat_num, int(np.log2(args.hw[0])) - 1)
+    trainer.D = Discriminator(args.hw[0], cfg.conv_dim, cfg.c_dim, d_repeat)
+    state = trainer.init_state(args.seed)
+    d_step, g_step = trainer.d_step(), trainer.g_step()
+    logger = MetricsLogger(f"{args.out_dir}/losses.txt")
+    ckpt = Checkpointer(args.out_dir)
+    rng = jax.random.PRNGKey(args.seed)
+
+    i = 0
+    while i < args.steps:
+        for b in synthetic_fc2_batches(4, args.batch_size, hw=tuple(args.hw),
+                                       num_dom=args.num_domains, seed=args.seed + i):
+            x = jnp.asarray(b["x_src"])
+            c_org = jax.nn.one_hot(jnp.asarray(b["y_src"]), cfg.c_dim)
+            c_trg = jax.nn.one_hot(jnp.asarray(b["y_ref"]), cfg.c_dim)
+            rng, sub = jax.random.split(rng)
+            state, dm = d_step(state, x, c_org, c_trg, sub)
+            metrics = dict(dm)
+            if (i + 1) % cfg.n_critic == 0:
+                state, gm = g_step(state, x, c_org, c_trg)
+                metrics.update(gm)
+            i += 1
+            if i % args.log_every == 0:
+                logger.log(i, **{k: float(v) for k, v in metrics.items()})
+                print(f"[{i}/{args.steps}] D: {float(dm['D/loss_real']):.3f}")
+            if i % args.ckpt_every == 0 or i == args.steps:
+                ckpt.save(i, G=state.g_params, D=state.d_params)
+            if i >= args.steps:
+                break
+
+
+def cmd_train_stargan2(args):
+    import jax
+    import jax.numpy as jnp
+
+    from vst.core import Checkpointer, MetricsLogger
+    from vst.data.fc2 import synthetic_fc2_batches
+    from vst.train.stargan2 import StarGAN2Config, StarGAN2Trainer
+
+    cfg = StarGAN2Config(img_size=args.hw[0], num_domains=args.num_domains,
+                         style_dim=args.style_dim, latent_dim=args.latent_dim,
+                         max_conv_dim=args.max_conv_dim,
+                         lambda_tcl=args.lambda_tcl)
+    trainer = StarGAN2Trainer(cfg, seed=args.seed)
+    state = trainer.init_state(args.seed)
+    logger = MetricsLogger(f"{args.out_dir}/losses.txt")
+    ckpt = Checkpointer(args.out_dir)
+    rng = jax.random.PRNGKey(args.seed)
+
+    i = 0
+    while i < args.steps:
+        for b in synthetic_fc2_batches(4, args.batch_size, hw=tuple(args.hw),
+                                       num_dom=args.num_domains, seed=args.seed + i):
+            batch = {
+                "x_real": jnp.asarray(b["x_src"]),
+                "x_real2": jnp.asarray(b["x2_src"]),
+                "x_ref": jnp.asarray(b["x_ref"]),
+                "y_org": jnp.asarray(b["y_src"]),
+                "y_trg": jnp.asarray(b["y_ref"]),
+                "mask": jnp.asarray(b["mask"]),
+                "flow": jnp.asarray(b["flow"]),
+            }
+            rng, sub = jax.random.split(rng)
+            state, metrics = trainer.train_iteration(state, batch, sub)
+            i += 1
+            if i % args.log_every == 0:
+                logger.log(i, **{k: float(v) for k, v in metrics.items()})
+                print(f"[{i}/{args.steps}] adv: {float(metrics['G/latent_adv']):.3f}")
+            if i % args.ckpt_every == 0 or i == args.steps:
+                ckpt.save(i, nets=state.params, nets_ema=state.ema)
+            if i >= args.steps:
+                break
+
+
+def _make_raft(args):
+    import jax
+    import jax.numpy as jnp
+
+    from vst.flow.raft import RAFT
+
+    raft = RAFT(small=False, iters=args.raft_iters)
+    H, W = args.hw
+    img = jnp.zeros((1, H, W, 3), jnp.float32)
+    params = raft.init(jax.random.PRNGKey(0), img, img)
+    if args.raft_ckpt:
+        import torch
+
+        from vst.flow.raft import raft_params_from_torch
+
+        sd = torch.load(args.raft_ckpt, map_location="cpu")
+        params = {"params": raft_params_from_torch(sd)}
+    return lambda a, b: raft.apply(params, a, b)
+
+
+def cmd_eval_sintel(args):
+    import jax
+    import jax.numpy as jnp
+
+    from vst.data.synthetic import AffineMotionGenerator, _texture
+    from vst.eval.sintel import SintelVideo, load_sintel_videos
+    from vst.eval.drivers import evaluate_sintel_faststyle
+    from vst.train.registry import select_method
+    from vst.train.faststyle import FastStyleTrainer
+    from vst.data.styles import load_style_images
+
+    if args.sintel_dir:
+        videos = load_sintel_videos(args.sintel_dir)
+    else:
+        rng = np.random.RandomState(args.seed)
+        gen = AffineMotionGenerator(crop_hw=tuple(args.hw), seed=args.seed)
+        big = (args.hw[0] + 96, args.hw[1] + 96)
+        frames, _, _ = gen.generate(_texture(rng, big), n_frames=8)
+        videos = [SintelVideo("synthetic_1", frames)]
+
+    cfg = select_method(args.method, n_styles=args.n_styles)
+    styles = load_style_images(size=64)[:max(args.n_styles, 1)]
+    trainer = FastStyleTrainer(cfg, styles, seed=args.seed)
+    from vst.data.synthetic import synthetic_batch
+    import jax.numpy as jnp
+
+    sample = {k: jnp.asarray(v) for k, v in
+              synthetic_batch(1, hw=tuple(args.hw)).items()}
+    state = trainer.init_state(sample)
+    params = state.params
+    if args.ckpt_dir:
+        from vst.core import Checkpointer
+
+        ckpt = Checkpointer(args.ckpt_dir)
+        step = ckpt.latest_step()
+        params = ckpt.restore(step, params=params)["params"]
+
+    raft_apply = _make_raft(args)
+    results = evaluate_sintel_faststyle(
+        trainer, params, videos, raft_apply,
+        styles=list(range(max(args.n_styles, 3))),
+        out_path=args.out_dir, dt_iters=args.dt_iters,
+    )
+    print({k: v[f"{k}_mean"] for k, v in results.items()})
+
+
+def cmd_datagen_fc2(args):
+    from vst.data.datagen import pack_fc2_npy
+
+    pack_fc2_npy(args.out_dir, args.n_samples, hw=tuple(args.hw),
+                 seed=args.seed)
+    print(f"wrote {args.n_samples} tuples to {args.out_dir}")
+
+
+def cmd_datagen_styled(args):
+    from vst.data.datagen import generate_styled_dataset
+    from vst.data.styles import load_style_images
+    from vst.data.synthetic import _texture
+    from vst.models.gatys import OBST
+
+    rng = np.random.RandomState(args.seed)
+    contents = [(f"{i:07d}", _texture(rng, (args.hw[0] + 32, args.hw[1] + 32)))
+                for i in range(args.n_samples)]
+    styles = load_style_images(args.style_dir, size=256)[:3]
+    pyr = ((args.hw[0] // 4, args.hw[1] // 4),
+           (args.hw[0] // 2, args.hw[1] // 2), tuple(args.hw))
+    generate_styled_dataset(contents, styles, args.out_dir,
+                            obst=OBST(max_iters=args.iters),
+                            pyr_shapes=pyr, batch_size=args.batch_size)
+    print(f"styled {args.n_samples} images into {args.out_dir}")
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="vst", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train-faststyle")
+    _add_common(p)
+    p.add_argument("--method", default="johnson",
+                   choices=["johnson", "dumoulin", "huang", "reconet", "ruder"])
+    p.add_argument("--n-styles", type=int, default=1)
+    p.add_argument("--style-dir", type=str, default=None)
+    p.set_defaults(fn=cmd_train_faststyle)
+
+    p = sub.add_parser("train-cyclegan")
+    _add_common(p)
+    p.add_argument("--variant", default="cyclegan",
+                   choices=["cyclegan", "cyclegan_con", "mogan", "congan"])
+    p.add_argument("--ngf", type=int, default=64)
+    p.add_argument("--ndf", type=int, default=64)
+    p.add_argument("--raft-iters", type=int, default=20)
+    p.add_argument("--raft-ckpt", type=str, default=None)
+    p.set_defaults(fn=cmd_train_cyclegan)
+
+    p = sub.add_parser("train-stargan")
+    _add_common(p)
+    p.add_argument("--num-domains", type=int, default=4)
+    p.add_argument("--conv-dim", type=int, default=64)
+    p.add_argument("--repeat-num", type=int, default=6)
+    p.add_argument("--n-critic", type=int, default=5)
+    p.set_defaults(fn=cmd_train_stargan)
+
+    p = sub.add_parser("train-stargan2")
+    _add_common(p)
+    p.add_argument("--num-domains", type=int, default=4)
+    p.add_argument("--style-dim", type=int, default=64)
+    p.add_argument("--latent-dim", type=int, default=16)
+    p.add_argument("--max-conv-dim", type=int, default=512)
+    p.add_argument("--lambda-tcl", type=float, default=0.0,
+                   help="100 = AdvCon")
+    p.set_defaults(fn=cmd_train_stargan2)
+
+    p = sub.add_parser("eval-sintel")
+    _add_common(p)
+    p.add_argument("--method", default="johnson")
+    p.add_argument("--n-styles", type=int, default=3)
+    p.add_argument("--sintel-dir", type=str, default=None)
+    p.add_argument("--ckpt-dir", type=str, default=None)
+    p.add_argument("--raft-iters", type=int, default=20)
+    p.add_argument("--raft-ckpt", type=str, default=None)
+    p.add_argument("--dt-iters", type=int, default=5)
+    p.set_defaults(fn=cmd_eval_sintel)
+
+    p = sub.add_parser("datagen-fc2")
+    _add_common(p)
+    p.add_argument("--n-samples", type=int, default=64)
+    p.set_defaults(fn=cmd_datagen_fc2)
+
+    p = sub.add_parser("datagen-styled")
+    _add_common(p)
+    p.add_argument("--n-samples", type=int, default=8)
+    p.add_argument("--style-dir", type=str, default=None)
+    p.add_argument("--iters", type=int, nargs="+", default=(50, 40, 30))
+    p.set_defaults(fn=cmd_datagen_styled)
+
+    p = sub.add_parser("bench")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Dataset generation — the pseudo-paired styled corpus + flow precompute.
+
+TPU-native rebuild of the reference's generation pipelines:
+
+* ``generate_styled_dataset`` — the Gatys batch styler
+  (``datasets/generation/datagen.py:150-321``): for each style image,
+  LBFGS-stylize every content crop (batched on the accelerator) over the
+  OBST pyramid; writes ``styled-files/style{k}/<img>.jpg`` with the content
+  itself saved as ``style0``; style index 3 is post-processed to grayscale
+  (:131-148, :313-316). A ``_2.jpg`` second-frame variant (``dataload.py:
+  41-66``) goes to the ``temp_dir`` layout consumed by DatasetFC2.
+* ``precompute_lt_flow`` — the Sintel5/FC5 long-term flow data
+  (``dataset-generation/flyingchairs2-generation.py:150-220``), using OUR
+  JAX RAFT instead of the reference's TensorFlow-1 SelFlow graph
+  (SURVEY §2.6): per frame t ≥ 5, backward flow frame_t → frame_{t−5} and
+  fb-consistency mask, packed (1, H, W, 3) like the reference's .npy files.
+* ``pack_fc2_npy`` — the FC2 training tuples (img1 ⊕ img2 ⊕ mask ⊕ flow
+  channelwise, ``methods/learning-based/datasets.py:52-54``) from the
+  affine-motion synthesizer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def to_grayscale3(img: np.ndarray) -> np.ndarray:
+    """PIL 'L' conversion replicated (ITU-R 601-2: 0.299/0.587/0.114),
+    repeated to 3 channels — the style-3 postprocess (datagen.py:131-148)."""
+    g = img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
+    return np.repeat(g[..., None], 3, axis=-1)
+
+
+def generate_styled_dataset(
+    content_images: Iterable,  # (name, (H, W, 3) float32 [0,1]) pairs
+    style_images: np.ndarray,  # (S, h, w, 3) [0,1]
+    out_dir: str,
+    obst=None,
+    pyr_shapes: Sequence = ((64, 64), (128, 128), (256, 256)),
+    weight_tcl: float = 0.0,
+    batch_size: int = 32,
+    grayscale_styles: Sequence[int] = (3,),
+    skip_existing: bool = True,
+):
+    """Writes ``out_dir/style{k}`` dirs; style0 = content, style k ≥ 1 =
+    Gatys-stylized. Batched LBFGS on-device (the reference batches 32,
+    datagen.py:222)."""
+    import imageio.v2 as imageio
+
+    from vst.models.gatys import OBST
+    from vst.perceptual.vgg import obst_prep, obst_postp
+    from vst.ops.image import resize_bilinear
+
+    obst = obst or OBST()
+    S = style_images.shape[0]
+    for k in range(S + 1):
+        os.makedirs(os.path.join(out_dir, f"style{k}"), exist_ok=True)
+
+    items = list(content_images)
+
+    def save(path, img01):
+        imageio.imwrite(path, (np.clip(img01, 0, 1) * 255).astype(np.uint8))
+
+    # style0 = the content crops themselves (datagen.py:259-266)
+    for name, img in items:
+        p = os.path.join(out_dir, "style0", name + ".jpg")
+        if not (skip_existing and os.path.exists(p)):
+            img_r = np.asarray(
+                resize_bilinear(jnp.asarray(img)[None], pyr_shapes[-1])
+            )[0]
+            save(p, img_r)
+
+    for sid in range(S):
+        obst.set_style(style_images[sid], pyr_shapes)
+        for i in range(0, len(items), batch_size):
+            chunk = items[i:i + batch_size]
+            todo = [
+                (name, img) for name, img in chunk
+                if not (skip_existing and os.path.exists(
+                    os.path.join(out_dir, f"style{sid + 1}", name + ".jpg")))
+            ]
+            if not todo:
+                continue
+            batch = jnp.stack([
+                resize_bilinear(jnp.asarray(img)[None], pyr_shapes[-1])[0]
+                for _, img in todo
+            ])
+            x = obst_prep(batch)
+            styled = obst.run(x, x, jnp.zeros(x.shape[:3] + (1,)), pyr_shapes,
+                              weight_tcl=weight_tcl)
+            rgb = np.asarray(obst_postp(styled))
+            for (name, _), img01 in zip(todo, rgb):
+                if (sid + 1) in grayscale_styles:
+                    img01 = to_grayscale3(img01)
+                save(os.path.join(out_dir, f"style{sid + 1}", name + ".jpg"),
+                     img01)
+
+
+def precompute_lt_flow(
+    frames: np.ndarray,  # (N, H, W, 3) float32 [0,1]
+    raft_apply: Callable,
+    out_dir: Optional[str] = None,
+    offset: int = 5,
+):
+    """Long-term (t → t−offset) backward flow + mask per frame, replacing the
+    TF-SelFlow precompute. Returns the list of (1, H, W, 3) arrays (flow_u,
+    flow_v, mask) and optionally writes ``frame_{t:04d}.npy``."""
+    from vst.ops.flowtools import fbc_mask
+    from vst.ops.image import InputPadder
+
+    def flow(i1, i2):
+        padder = InputPadder(i1.shape)
+        a, b = padder.pad(jnp.asarray(i1), jnp.asarray(i2))
+        _, up = raft_apply(a, b)
+        return padder.unpad(up)
+
+    out = []
+    for t in range(offset, frames.shape[0]):
+        cur = frames[t][None]
+        past = frames[t - offset][None]
+        bf = flow(cur, past)
+        ff = flow(past, cur)
+        mask = fbc_mask(ff, bf)
+        packed = np.concatenate(
+            [np.asarray(bf)[0], np.asarray(mask)[0]], axis=-1
+        )[None].astype(np.float32)
+        out.append(packed)
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            np.save(os.path.join(out_dir, f"frame_{t:04d}.npy"), packed)
+    return out
+
+
+def pack_fc2_npy(out_dir: str, n_samples: int, hw=(256, 256), seed: int = 0):
+    """Materialize FC2-style training .npy files ((1, H, W, 9) channelwise)
+    from the affine-motion synthesizer — the test/CI stand-in for the real
+    FlyingChairs2 corpus."""
+    from vst.data.synthetic import synthetic_batch
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n_samples):
+        b = synthetic_batch(1, hw=hw, n_frames=2, seed=seed + i)
+        packed = np.concatenate(
+            [b["imgs"][0, 0], b["imgs"][0, 1], b["masks"][0, 0], b["flows"][0, 0]],
+            axis=-1,
+        )[None].astype(np.float32)
+        np.save(os.path.join(out_dir, f"{i:07d}.npy"), packed)

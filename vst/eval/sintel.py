@@ -144,6 +144,11 @@ def evaluate_videos(
     tcl_lt: Dict[str, float] = {}
     dt: Dict[str, float] = {}
 
+    # device-put style pytrees: python ints would be treated as fresh
+    # compile-time constants per style, retracing the fused RAFT program
+    # once per (video, style) — arrays make it ONE compilation total
+    styles = [jax.tree_util.tree_map(jnp.asarray, s) for s in styles]
+
     for video in videos:
         frames = jnp.asarray(ft(video.frames))
         n = len(video)

@@ -291,16 +291,18 @@ def upsample_flow_convex(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 class _IterUpdate(nn.Module):
     """One GRU refinement iteration, shaped for ``nn.scan``:
-    carry = (net, coords1, up_mask); broadcast side inputs carried through
-    unchanged = (coords0, inp, pyramid). Params are broadcast across
-    iterations (weight sharing, raft.py:122-131)."""
+    carry = (net, coords1, up_mask); loop-invariant side inputs (coords0,
+    inp, pyramid) enter as broadcast xs — NOT through the carry, which would
+    round-trip the ~200 MB correlation pyramid through HBM every iteration.
+    Params are broadcast across iterations (weight sharing, raft.py:122-131)."""
 
     small: bool
     radius: int
 
     @nn.compact
-    def __call__(self, carry, _x):
-        net, coords1, up_mask, coords0, inp, pyramid = carry
+    def __call__(self, carry, const):
+        net, coords1, up_mask = carry
+        coords0, inp, pyramid = const
         coords1 = jax.lax.stop_gradient(coords1)  # raft.py:123
         corr = lookup_pyramid(pyramid, coords1, self.radius, coords1.shape[0])
         flow = coords1 - coords0
@@ -312,7 +314,7 @@ class _IterUpdate(nn.Module):
         coords1 = coords1 + delta
         if mask is None:
             mask = up_mask  # small model: keep the dummy
-        return (net, coords1, mask, coords0, inp, pyramid), None
+        return (net, coords1, mask), None
 
 
 class RAFT(nn.Module):
@@ -363,18 +365,18 @@ class RAFT(nn.Module):
         up_mask0 = jnp.zeros((B, H // 8, W // 8, 64 * 9), jnp.float32)
 
         # GRU iterations under scan: one trace, update-block params broadcast
-        # (shared) across iterations; the loop-invariant pyramid rides in the
-        # carry untouched (stays in HBM, no re-materialization).
+        # (shared) across iterations; loop invariants enter as broadcast xs
         scan = nn.scan(
             _IterUpdate,
             variable_broadcast="params",
             split_rngs={"params": False},
+            in_axes=nn.broadcast,
             length=self.iters,
         )
-        carry0 = (net, coords1, up_mask0, coords0, inp, pyramid)
-        (net, coords1, up_mask, _, _, _), _ = scan(
+        carry0 = (net, coords1, up_mask0)
+        (net, coords1, up_mask), _ = scan(
             small=self.small, radius=corr_radius, name="update_iter"
-        )(carry0, None)
+        )(carry0, (coords0, inp, pyramid))
 
         flow_low = coords1 - coords0
         if self.small:

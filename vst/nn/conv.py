@@ -49,21 +49,72 @@ class TorchConv(nn.Module):
 class ConvLayer(nn.Module):
     """Reflection-padded convolution, parity with
     ``methods/learning-based/network.py:97-108`` (pad = ⌊k/2⌋ reflect, then
-    VALID conv with the given stride)."""
+    VALID conv with the given stride).
+
+    Large stride-1 kernels (k ≥ 7) take the exact space-to-depth fast path
+    (vst.kernels.s2d_conv) — XLA's direct lowering of the 9×9 stem/head
+    convs leaves the MXU ~98% idle (see kernels module docstring). Same
+    params, same math, ~2× on the Sintel-res stem."""
 
     features: int
     kernel_size: int
     stride: int = 1
     use_bias: bool = True
+    fast_s2d: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad = self.kernel_size // 2
         x = reflect_pad(x, pad)
+        if self.fast_s2d and self.stride == 1 and self.kernel_size >= 7:
+            # param tree named/shaped exactly like the TorchConv path so
+            # checkpoints are interchangeable between fast/reference paths
+            return _S2DConv(
+                self.features, self.kernel_size, self.use_bias,
+                name="TorchConv_0",
+            )(x)
         return TorchConv(
             self.features, self.kernel_size, stride=self.stride,
             padding="VALID", use_bias=self.use_bias,
         )(x)
+
+
+class _S2DConv(nn.Module):
+    """Param-compatible with TorchConv (nested Conv_0 scope holding
+    kernel/bias) but computing through the s2d fast path."""
+
+    features: int
+    kernel_size: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from vst.kernels.s2d_conv import s2d_conv2d
+        from vst.nn.init import conv_kernel_torch_default, conv_bias_torch_default
+
+        ks = self.kernel_size
+        cin = x.shape[-1]
+        fan_in = ks * ks * cin
+
+        class _Inner(nn.Module):
+            features: int
+
+            @nn.compact
+            def __call__(inner_self, x):
+                kernel = inner_self.param(
+                    "kernel", conv_kernel_torch_default,
+                    (ks, ks, cin, inner_self.features),
+                )
+                y = s2d_conv2d(x, kernel, f=4)
+                if self.use_bias:
+                    bias = inner_self.param(
+                        "bias", conv_bias_torch_default(fan_in),
+                        (inner_self.features,),
+                    )
+                    y = y + bias
+                return y
+
+        return _Inner(self.features, name="Conv_0")(x)
 
 
 class UpsampleConvLayer(nn.Module):
