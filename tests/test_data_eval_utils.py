@@ -140,3 +140,44 @@ def test_debug_grid_and_latent_video(tmp_path):
         steps_per_pair=4,
     )
     assert os.path.getsize(p) > 0
+
+
+def test_native_loader_matches_numpy(tmp_path):
+    from vst.data.native_loader import load_npy_batch, native_available
+
+    shape = (1, 16, 16, 9)
+    paths = []
+    for i in range(5):
+        a = np.random.RandomState(i).randn(*shape).astype(np.float32)
+        p = str(tmp_path / f"{i}.npy")
+        np.save(p, a)
+        paths.append(p)
+    got = load_npy_batch(paths, shape)
+    want = np.stack([np.load(p) for p in paths])
+    np.testing.assert_array_equal(got, want)
+    # native build should succeed in this environment (g++ present)
+    assert native_available()
+
+
+def test_native_loader_fallback_on_unsupported(tmp_path):
+    """float64 files aren't handled natively → per-file numpy fallback."""
+    from vst.data.native_loader import load_npy_batch
+
+    shape = (4, 4)
+    p = str(tmp_path / "f64.npy")
+    a = np.random.RandomState(0).randn(*shape)  # float64
+    np.save(p, a)
+    got = load_npy_batch([p], shape)
+    np.testing.assert_allclose(got[0], a.astype(np.float32), rtol=1e-6)
+
+
+def test_experiments_harness():
+    from vst.train.experiments import train_net, infer_test
+    from vst.data.synthetic import synthetic_batch
+
+    trainer, state, losses = train_net("johnson", steps=3, batch_size=2,
+                                       hw=(32, 32))
+    assert len(losses) == 3 and np.isfinite(losses[-1]["loss"])
+    clip = synthetic_batch(1, hw=(32, 32), n_frames=2, seed=5)["imgs"][0]
+    styled, st, lt = infer_test(trainer, state, clip)
+    assert styled.shape == clip.shape and np.isfinite(st)

@@ -390,6 +390,21 @@ def main(argv=None):
     p.add_argument("--iters", type=int, nargs="+", default=(50, 40, 30))
     p.set_defaults(fn=cmd_datagen_styled)
 
+    p = sub.add_parser("demo")
+    _add_common(p)
+    p.add_argument("--source", type=str, default=None,
+                   help="'webcam', a video path, or omit for a synthetic clip")
+    p.add_argument("--method", default="huang")
+    p.add_argument("--n-styles", type=int, default=3)
+    p.add_argument("--n-frames", type=int, default=60)
+    p.add_argument("--ckpt-dir", type=str, default=None)
+    p.add_argument("--show", action="store_true")
+    p.set_defaults(fn=lambda a: __import__(
+        "vst.cli.demo", fromlist=["run_demo"]).run_demo(
+        source=a.source, ckpt_dir=a.ckpt_dir, method=a.method,
+        n_styles=a.n_styles, n_frames=a.n_frames, hw=tuple(a.hw),
+        out_path=a.out_dir + "/demo", show=a.show, seed=a.seed))
+
     p = sub.add_parser("bench")
     p.set_defaults(fn=cmd_bench)
 
