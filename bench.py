@@ -54,6 +54,7 @@ def main():
         ("f32_b1", jnp.float32, 1),
         ("bf16_b1", jnp.bfloat16, 1),
         ("bf16_b4", jnp.bfloat16, 4),
+        ("bf16_b8", jnp.bfloat16, 8),
     ]
     results = {}
     for name, dtype, batch in configs:
