@@ -178,3 +178,52 @@ def synthetic_fc2_batches(
             "flow": base["flows"][:, 0],
         })
     return out
+
+
+class CycleGANFC2Dataset:
+    """CycleGAN-family FC2 loader — parity with
+    ``CycleGAN/fc2_dataset.py:19-66`` (one model per style sid): samples
+    (img1, img2, simg1, simg2) where img1 comes from ``styled-files/style0``,
+    img2 is the ``_2``-suffixed next frame from ``styled-files3/style0``, and
+    simg1/simg2 are the same files from ``style{sid}``; seed-1234 shuffle.
+    Images returned in [−1,1]."""
+
+    def __init__(self, dset_dir: str, sid: int = 1):
+        self.data_dir1 = os.path.join(dset_dir, "styled-files", "style0")
+        self.data_dir2 = os.path.join(dset_dir, "styled-files3", "style0")
+        self.style_dir1 = os.path.join(dset_dir, "styled-files", f"style{sid}")
+        self.style_dir2 = os.path.join(dset_dir, "styled-files3", f"style{sid}")
+
+        names = sorted(os.listdir(self.data_dir1))
+        assert len(names) == len(os.listdir(self.data_dir2))
+        self.dataset = [
+            (n, os.path.splitext(n)[0] + "_2" + os.path.splitext(n)[1])
+            for n in names
+        ]
+        rng = random.Random(1234)
+        rng.shuffle(self.dataset)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, index: int):
+        import imageio.v2 as imageio
+
+        def load(path):
+            return imageio.imread(path).astype(np.float32) / 255.0 * 2 - 1
+
+        n1, n2 = self.dataset[index]
+        return {
+            "real_A": load(os.path.join(self.data_dir1, n1)),
+            "real_A2": load(os.path.join(self.data_dir2, n2)),
+            "real_B": load(os.path.join(self.style_dir1, n1)),
+            "real_B2": load(os.path.join(self.style_dir2, n2)),
+        }
+
+    def epoch(self, batch_size: int, shuffle: bool = True, seed: int = 0):
+        order = np.arange(len(self.dataset))
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            samples = [self[int(j)] for j in order[i:i + batch_size]]
+            yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}

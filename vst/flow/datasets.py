@@ -1,0 +1,182 @@
+"""Flow-training datasets + augmentation — capability parity with the
+vendored RAFT training stack (``utils/raft/raft/datasets.py`` (235 LoC),
+``utils/augmentor.py`` (246), ``frame_utils.py``; SURVEY S5 — unused by the
+reference at runtime since it loads pretrained ``raft-chairs.pth``, but part
+of the shipped surface, so vst can TRAIN its flow net when labeled data
+exists).
+
+Host-side numpy; batches feed the jitted RAFT training step (sequence loss
+over scan outputs).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from vst.flow.io import read_flo
+
+
+class FlowAugmentor:
+    """Photometric + spatial augmentation (augmentor.py): color jitter
+    (brightness/contrast/saturation/hue-lite via channel scaling), asymmetric
+    eraser, random scale, horizontal/vertical flips, random crop — flow
+    vectors rescaled/flipped consistently."""
+
+    def __init__(self, crop_size: Tuple[int, int], min_scale: float = -0.2,
+                 max_scale: float = 0.5, do_flip: bool = True, seed: int = 0):
+        self.crop_size = crop_size
+        self.min_scale = min_scale
+        self.max_scale = max_scale
+        self.do_flip = do_flip
+        self.rng = np.random.RandomState(seed)
+
+    def _photometric(self, img1, img2):
+        # asymmetric jitter with p=0.2 (augmentor.py asymmetric_color_aug_prob)
+        def jitter(img):
+            b = self.rng.uniform(0.6, 1.4)
+            c = self.rng.uniform(0.6, 1.4)
+            s = self.rng.uniform(0.6, 1.4)
+            mean = img.mean(axis=(0, 1), keepdims=True)
+            gray = img.mean(axis=2, keepdims=True)
+            img = (img - mean) * c + mean
+            img = img * b
+            img = gray + (img - gray) * s
+            return np.clip(img, 0, 255)
+
+        if self.rng.rand() < 0.2:
+            return jitter(img1), jitter(img2)
+        j = jitter(np.concatenate([img1, img2], axis=0))
+        return j[: img1.shape[0]], j[img1.shape[0]:]
+
+    def _eraser(self, img2, bounds=(50, 100)):
+        if self.rng.rand() < 0.5:
+            mean = img2.reshape(-1, 3).mean(axis=0)
+            for _ in range(self.rng.randint(1, 3)):
+                x0 = self.rng.randint(0, img2.shape[1])
+                y0 = self.rng.randint(0, img2.shape[0])
+                dx = self.rng.randint(*bounds)
+                dy = self.rng.randint(*bounds)
+                img2[y0:y0 + dy, x0:x0 + dx] = mean
+        return img2
+
+    def _spatial(self, img1, img2, flow):
+        import cv2
+
+        ht, wd = img1.shape[:2]
+        min_scale = max((self.crop_size[0] + 8) / ht, (self.crop_size[1] + 8) / wd)
+        scale = 2 ** self.rng.uniform(self.min_scale, self.max_scale)
+        scale = max(scale, min_scale)
+        if self.rng.rand() < 0.8:
+            img1 = cv2.resize(img1, None, fx=scale, fy=scale,
+                              interpolation=cv2.INTER_LINEAR)
+            img2 = cv2.resize(img2, None, fx=scale, fy=scale,
+                              interpolation=cv2.INTER_LINEAR)
+            flow = cv2.resize(flow, None, fx=scale, fy=scale,
+                              interpolation=cv2.INTER_LINEAR) * scale
+
+        if self.do_flip:
+            if self.rng.rand() < 0.5:  # h-flip
+                img1 = img1[:, ::-1]
+                img2 = img2[:, ::-1]
+                flow = flow[:, ::-1] * [-1.0, 1.0]
+            if self.rng.rand() < 0.1:  # v-flip
+                img1 = img1[::-1]
+                img2 = img2[::-1]
+                flow = flow[::-1] * [1.0, -1.0]
+
+        y0 = self.rng.randint(0, img1.shape[0] - self.crop_size[0] + 1)
+        x0 = self.rng.randint(0, img1.shape[1] - self.crop_size[1] + 1)
+        sl = np.s_[y0:y0 + self.crop_size[0], x0:x0 + self.crop_size[1]]
+        return img1[sl], img2[sl], flow[sl]
+
+    def __call__(self, img1, img2, flow):
+        img1, img2 = self._photometric(img1, img2)
+        img2 = self._eraser(img2.copy())
+        img1, img2, flow = self._spatial(img1, img2, flow)
+        return (np.ascontiguousarray(img1), np.ascontiguousarray(img2),
+                np.ascontiguousarray(flow))
+
+
+class FlowDataset:
+    """Base: list of (img1, img2, flow) file triplets → augmented samples."""
+
+    def __init__(self, augmentor: Optional[FlowAugmentor] = None):
+        self.image_list: List[Tuple[str, str]] = []
+        self.flow_list: List[str] = []
+        self.augmentor = augmentor
+
+    def __len__(self):
+        return len(self.image_list)
+
+    def __getitem__(self, idx):
+        import imageio.v2 as imageio
+
+        p1, p2 = self.image_list[idx]
+        img1 = imageio.imread(p1).astype(np.float32)
+        img2 = imageio.imread(p2).astype(np.float32)
+        flow = read_flo(self.flow_list[idx])
+        if self.augmentor is not None:
+            img1, img2, flow = self.augmentor(img1, img2, flow)
+        valid = (np.abs(flow[..., 0]) < 1000) & (np.abs(flow[..., 1]) < 1000)
+        return img1, img2, flow.astype(np.float32), valid.astype(np.float32)
+
+
+class FlyingChairs(FlowDataset):
+    """datasets.py FlyingChairs layout: ``data/*.ppm`` pairs + ``*.flo``."""
+
+    def __init__(self, root: str, split: str = "training",
+                 augmentor: Optional[FlowAugmentor] = None):
+        super().__init__(augmentor)
+        images = sorted(
+            [os.path.join(root, "data", f) for f in os.listdir(os.path.join(root, "data"))
+             if f.endswith(".ppm")]
+        )
+        flows = sorted(
+            [os.path.join(root, "data", f) for f in os.listdir(os.path.join(root, "data"))
+             if f.endswith(".flo")]
+        )
+        assert len(images) // 2 == len(flows)
+        for i in range(len(flows)):
+            self.flow_list.append(flows[i])
+            self.image_list.append((images[2 * i], images[2 * i + 1]))
+
+
+class MpiSintelFlow(FlowDataset):
+    """datasets.py MpiSintel layout: training/<dstype>/<scene> frames +
+    training/flow/<scene>/*.flo."""
+
+    def __init__(self, root: str, dstype: str = "clean",
+                 augmentor: Optional[FlowAugmentor] = None):
+        super().__init__(augmentor)
+        image_root = os.path.join(root, "training", dstype)
+        flow_root = os.path.join(root, "training", "flow")
+        for scene in sorted(os.listdir(image_root)):
+            frames = sorted(os.listdir(os.path.join(image_root, scene)))
+            for i in range(len(frames) - 1):
+                self.image_list.append((
+                    os.path.join(image_root, scene, frames[i]),
+                    os.path.join(image_root, scene, frames[i + 1]),
+                ))
+            for f in sorted(os.listdir(os.path.join(flow_root, scene))):
+                self.flow_list.append(os.path.join(flow_root, scene, f))
+
+
+def flow_sequence_loss(flow_preds, flow_gt, valid, gamma: float = 0.8,
+                       max_flow: float = 400.0):
+    """RAFT's exponentially-weighted sequence loss (train.py upstream):
+    Σ_i γ^(n−i−1)·mean(valid·|pred_i − gt|)."""
+    import jax.numpy as jnp
+
+    n = len(flow_preds)
+    mag = jnp.sqrt(jnp.sum(flow_gt ** 2, axis=-1))
+    v = valid * (mag < max_flow)
+    loss = 0.0
+    for i, pred in enumerate(flow_preds):
+        w = gamma ** (n - i - 1)
+        err = jnp.abs(pred - flow_gt).sum(axis=-1)
+        loss = loss + w * jnp.mean(v * err)
+    return loss

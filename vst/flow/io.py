@@ -39,3 +39,31 @@ def read_flow(path: str) -> np.ndarray:
     if path.endswith(".flo"):
         return read_flo(path)
     raise ValueError(f"unsupported flow format: {path}")
+
+
+def read_pfm(path: str) -> np.ndarray:
+    """PFM reader (frame_utils.py readPFM) — used by FlyingThings flow."""
+    with open(path, "rb") as f:
+        header = f.readline().rstrip()
+        color = header == b"PF"
+        if header not in (b"PF", b"Pf"):
+            raise ValueError("not a PFM file")
+        dims = f.readline().split()
+        w, h = int(dims[0]), int(dims[1])
+        scale = float(f.readline().rstrip())
+        endian = "<" if scale < 0 else ">"
+        data = np.fromfile(f, endian + "f")
+    shape = (h, w, 3) if color else (h, w)
+    return np.flipud(data.reshape(shape))
+
+
+def read_kitti_png(path: str) -> np.ndarray:
+    """KITTI 16-bit PNG flow (frame_utils.py readFlowKITTI): (u, v, valid),
+    flow = (png[..., :2] − 2^15)/64."""
+    import cv2
+
+    raw = cv2.imread(path, cv2.IMREAD_ANYDEPTH | cv2.IMREAD_COLOR)
+    raw = raw[:, :, ::-1].astype(np.float32)  # BGR → RGB channel order
+    flow = (raw[:, :, :2] - 2 ** 15) / 64.0
+    valid = raw[:, :, 2:3]
+    return np.concatenate([flow, valid], axis=-1)

@@ -314,7 +314,7 @@ class _IterUpdate(nn.Module):
         coords1 = coords1 + delta
         if mask is None:
             mask = up_mask  # small model: keep the dummy
-        return (net, coords1, mask), None
+        return (net, coords1, mask), (coords1, mask)
 
 
 class RAFT(nn.Module):
@@ -324,6 +324,8 @@ class RAFT(nn.Module):
 
     small: bool = False
     iters: int = 12
+    train_mode: bool = False  # return ALL per-iteration upsampled flows
+    # (raft.py:121-144 flow_predictions) for the sequence loss
 
     @nn.compact
     def __call__(self, image1, image2,
@@ -374,11 +376,18 @@ class RAFT(nn.Module):
             length=self.iters,
         )
         carry0 = (net, coords1, up_mask0)
-        (net, coords1, up_mask), _ = scan(
+        (net, coords1, up_mask), (coords1_all, masks_all) = scan(
             small=self.small, radius=corr_radius, name="update_iter"
         )(carry0, (coords0, inp, pyramid))
 
         flow_low = coords1 - coords0
+        if self.train_mode:
+            def up_one(c1, m):
+                f = c1 - coords0
+                return upflow8(f) if self.small else upsample_flow_convex(f, m)
+
+            flow_preds = jax.vmap(up_one)(coords1_all, masks_all)
+            return flow_low, flow_preds  # (iters, B, H, W, 2)
         if self.small:
             flow_up = upflow8(flow_low)
         else:
