@@ -181,3 +181,16 @@ def test_experiments_harness():
     clip = synthetic_batch(1, hw=(32, 32), n_frames=2, seed=5)["imgs"][0]
     styled, st, lt = infer_test(trainer, state, clip)
     assert styled.shape == clip.shape and np.isfinite(st)
+
+
+def test_visualizer_html_gallery(tmp_path):
+    from vst.core.visualizer import Visualizer
+
+    viz = Visualizer(str(tmp_path), name="t")
+    imgs = {"real_A": np.zeros((8, 8, 3)), "fake_B": np.ones((8, 8, 3))}
+    viz.display_current_results(imgs, epoch=1)
+    msg = viz.print_current_losses(1, 100, {"G_A": 0.5, "D_A": 0.25})
+    assert "G_A: 0.500" in msg
+    assert (tmp_path / "web" / "index.html").exists()
+    assert (tmp_path / "web" / "images" / "epoch001_fake_B.png").exists()
+    assert (tmp_path / "loss_log.txt").read_text().count("\n") >= 2

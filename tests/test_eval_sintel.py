@@ -91,3 +91,29 @@ def test_reference_aggregation_naming():
     keys = set(results["TCL-ST"].keys())
     assert "TCL-ST_alley_1_s1" in keys
     assert "TCL-ST_mean" in keys and "TCL-ST_mean_s2" in keys
+
+
+def test_evaluate_videos_sharded_matches_serial():
+    """Multi-chip eval over the 8-device mesh must reproduce the serial
+    harness's TCL values (same math, batched + sharded)."""
+    from vst.eval.sintel import evaluate_videos_sharded
+    from vst.parallel.mesh import create_mesh
+
+    frames, _, _ = _synthetic_video(n_frames=9)
+    video = SintelVideo("toy", frames)
+
+    def stylize(img, style):
+        return jnp.clip(img * (1.0 + 0.1 * style), 0.0, 1.0)
+
+    def raft_apply(i1, i2):
+        d = jnp.mean(i1 - i2, axis=-1, keepdims=True)
+        return None, jnp.concatenate([d, -d], axis=-1)
+
+    serial = evaluate_videos([video], stylize, raft_apply,
+                             styles=[0.0, 1.0], dt_iters=1)
+    mesh = create_mesh()
+    sharded = evaluate_videos_sharded([video], stylize, raft_apply,
+                                      styles=[0.0, 1.0], mesh=mesh)
+    for k in ("TCL-ST_toy_s1", "TCL-ST_toy_s2"):
+        np.testing.assert_allclose(sharded["TCL-ST"][k],
+                                   serial["TCL-ST"][k], rtol=1e-4)

@@ -54,3 +54,25 @@ def test_calculate_metrics_end_to_end(tmp_path):
     # LPIPS over identical-but-for-noise outputs is small but > 0
     lp = [v for k, v in results["LPIPS"].items() if not k.endswith("/mean")]
     assert all(v > 0 for v in lp)
+
+
+def test_evaluate_fc2_obst():
+    from vst.eval.drivers import evaluate_fc2_obst
+    from vst.models.gatys import OBST
+    from vst.data.styles import load_style_images
+
+    batches = synthetic_fc2_batches(1, 3, hw=(96, 96), num_dom=3, seed=4)
+    # OBST pipeline expects [0,1] images
+    for b in batches:
+        for k in ("x_src", "x2_src", "x_ref"):
+            b[k] = (b[k] + 1) / 2
+
+    obst = OBST(max_iters=(2, 2), seed=0)
+    styles = load_style_images(size=48)
+    res = evaluate_fc2_obst(
+        obst, batches, styles, pyr_shapes=((48, 48), (96, 96)),
+        num_domains=3, inception=InceptionV3(seed=0),
+    )
+    assert "TCL/mean" in res["TCL"] or not res["TCL"]
+    for v in res["TCL"].values():
+        assert np.isfinite(v)

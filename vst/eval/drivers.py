@@ -195,3 +195,96 @@ def evaluate_sintel_obst(obst, videos, raft_apply, style_images,
             save_json(data, os.path.join(out_path, out_id + ".json"),
                       num_styles=n_styles)
     return results
+
+
+def evaluate_fc2_obst(
+    obst, eval_batches, style_images, pyr_shapes=((64, 64), (128, 128), (256, 256)),
+    weight_tcl: float = 0.0, num_domains: int = 4, out_dir=None,
+    inception=None, lpips=None, step: int = 0,
+):
+    """OBST FC2 eval — parity with ``obst_eval.py:570-724`` (eval_fc2):
+    per eval sample with y_trg ≠ y_org and y_trg ≠ 0, stylize frame 1 from
+    scratch (zero mask), warp it with the GT flow, stylize frame 2 warm-
+    started FROM THE WARP with the mask + TCL weight, and take the masked RMS
+    against the warp. FID between refs and fakes per task; style 3 refs are
+    saved grayscale (postp2 quirk). Batches follow vst.data.fc2.BATCH_KEYS
+    with images in [0,1] RGB (caffe preprocessing happens here)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vst.perceptual.vgg import obst_prep, obst_postp
+    from vst.ops.sample import warp
+    from vst.core.metrics import save_json
+    from vst.metrics.fid import InceptionV3, fid_from_activations
+    from collections import OrderedDict
+    import os as _os
+
+    inception = inception or InceptionV3(seed=0)
+
+    tasks = [f"style02style{d}" for d in range(1, num_domains)] + [
+        f"style{d}2style0" for d in range(1, num_domains)
+    ]
+    tcl_vals = {t: [] for t in tasks}
+    fakes = {t: [] for t in tasks}
+    refs = {t: [] for t in tasks}
+
+    style_cache = {}
+
+    for batch in eval_batches:
+        x1 = jnp.asarray(batch["x_src"])
+        x2 = jnp.asarray(batch["x2_src"])
+        y_org = np.asarray(batch["y_src"])
+        y_trg = np.asarray(batch["y_ref"])
+        mask = jnp.asarray(batch["mask"])
+        flow = jnp.asarray(batch["flow"])
+        x_ref = np.asarray(batch["x_ref"])
+
+        for k in range(x1.shape[0]):
+            if y_org[k] == y_trg[k] or y_trg[k] == 0:
+                continue
+            task = f"style{y_org[k]}2style{y_trg[k]}"
+            if task not in tcl_vals:
+                # DatasetFC2 only emits (0,d)/(d,0)/(d,d) pairs; arbitrary
+                # (d,e) pairs from other loaders are out of the task grid
+                continue
+            sid = int(y_trg[k]) - 1
+            if sid not in style_cache:
+                obst.set_style(style_images[sid], pyr_shapes)
+                style_cache = {sid: True}
+
+            c1 = obst_prep(x1[k:k + 1])
+            c2 = obst_prep(x2[k:k + 1])
+            m = mask[k:k + 1]
+            x_fake = obst.run(c1, c1, jnp.zeros_like(m), pyr_shapes,
+                              weight_tcl=weight_tcl)
+            x_warp = warp(x_fake, flow[k:k + 1])
+            x_fake2 = obst.run(x_warp, c2, m, pyr_shapes,
+                               weight_tcl=weight_tcl)
+            err = jnp.sqrt(jnp.mean((m * (x_fake2 - x_warp)) ** 2))
+            tcl_vals[task].append(float(err))
+
+            rgb_fake = np.asarray(obst_postp(x_fake))[0]
+            ref_img = x_ref[k]
+            if sid == 2:  # style-3 refs grayscale (postp2, obst_eval.py:668)
+                from vst.data.datagen import to_grayscale3
+
+                ref_img = to_grayscale3(ref_img)
+            fakes[task].append(rgb_fake)
+            refs[task].append(ref_img)
+
+    tcl_dict, fid_dict = OrderedDict(), OrderedDict()
+    for task in tasks:
+        if not fakes[task]:
+            continue
+        tcl_dict[f"TCL/{task}"] = float(np.mean(tcl_vals[task]))
+        ra = inception(jnp.asarray(np.stack(refs[task])))
+        fa = inception(jnp.asarray(np.stack(fakes[task])))
+        fid_dict[f"FID/{task}"] = fid_from_activations(ra, fa)
+    for d, name in ((tcl_dict, "TCL"), (fid_dict, "FID")):
+        if d:
+            d[f"{name}/mean"] = float(np.mean(
+                [v for k, v in d.items() if not k.endswith("/mean")]))
+        if out_dir:
+            save_json(d, _os.path.join(out_dir, f"{name}.json"),
+                      aggregate=False)
+    return {"TCL": tcl_dict, "FID": fid_dict}

@@ -206,3 +206,94 @@ def _save_frame(x: np.ndarray, path: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     img = np.clip(x, 0.0, 1.0)
     imageio.imwrite(path, (img * 255).astype(np.uint8))
+
+
+def evaluate_videos_sharded(
+    videos: Sequence[SintelVideo],
+    stylize_fn: Callable,
+    raft_apply: Callable,
+    styles: Sequence,
+    mesh,
+    lt_len: int = 5,
+    frame_transform: Optional[Callable] = None,
+    raft_preprocess: Optional[Callable] = None,
+) -> Dict[str, Dict[str, float]]:
+    """Multi-chip TCL eval: frames of each (video, style) pass are BATCHED
+    and sharded across the mesh's data axis — the TPU-native replacement for
+    the reference's one-frame-at-a-time loop (SURVEY §2.7: shard videos/
+    frames over ICI). Per-frame TCL values match evaluate_videos (same math,
+    batched); DT is reported from the batched throughput.
+    """
+    import time as _time
+
+    from vst.parallel.mesh import batch_sharding
+
+    ft = frame_transform or (lambda x: x)
+    prep = raft_preprocess or (lambda x: x)
+    n_dev = int(np.prod(mesh.devices.shape))
+    sharding = batch_sharding(mesh)
+
+    def tcl_batch(imgs, prevs, style):
+        x_fake = stylize_fn(imgs, style)
+        padder = InputPadder(imgs.shape)
+        i1, i2 = padder.pad(prep(prevs), prep(imgs))
+        _, ff = raft_apply(i1, i2)
+        _, bf_ = raft_apply(i2, i1)
+        ff = padder.unpad(ff)
+        bf = padder.unpad(bf_)
+        mask = fbc_mask(ff, bf)
+        warped = warp(stylize_fn(prevs, style), bf)
+        per = jnp.sqrt(jnp.mean((mask * (x_fake - warped)) ** 2,
+                                axis=(1, 2, 3)))
+        return per
+
+    tcl_batch = jax.jit(tcl_batch)
+
+    tcl_st: Dict[str, float] = {}
+    tcl_lt: Dict[str, float] = {}
+    dt: Dict[str, float] = {}
+    styles = [jax.tree_util.tree_map(jnp.asarray, s) for s in styles]
+
+    for video in videos:
+        frames = np.asarray(ft(video.frames))
+        n = len(video)
+        for d, style in enumerate(styles):
+            key = f"{video.name}_s{d + 1}"
+
+            def run_pairs(cur_idx, prev_idx):
+                vals = []
+                t0 = _time.perf_counter()
+                for i in range(0, len(cur_idx), n_dev):
+                    ci = cur_idx[i:i + n_dev]
+                    pi = prev_idx[i:i + n_dev]
+                    if len(ci) < n_dev:  # pad the tail to the device count
+                        pad = n_dev - len(ci)
+                        ci = list(ci) + [ci[-1]] * pad
+                        pi = list(pi) + [pi[-1]] * pad
+                        real = n_dev - pad
+                    else:
+                        real = n_dev
+                    imgs = jax.device_put(frames[list(ci)], sharding)
+                    prevs = jax.device_put(frames[list(pi)], sharding)
+                    per = np.asarray(tcl_batch(imgs, prevs, style))
+                    vals.extend(per[:real].tolist())
+                elapsed = _time.perf_counter() - t0
+                return vals, elapsed
+
+            st_vals, t_st = run_pairs(list(range(1, n)), list(range(0, n - 1)))
+            lt_vals, _ = run_pairs(list(range(lt_len, n)),
+                                   list(range(0, n - lt_len)))
+            tcl_st[f"TCL-ST_{key}"] = float(np.mean(st_vals)) if st_vals else 0.0
+            tcl_lt[f"TCL-LT_{key}"] = float(np.mean(lt_vals)) if lt_vals else 0.0
+            dt[f"DT_{key}"] = t_st / max(len(st_vals), 1) * 1000.0
+
+    nd = len(styles)
+    results = {}
+    for out_id, data in (("TCL-ST", tcl_st), ("TCL-LT", tcl_lt), ("DT", dt)):
+        agg = aggregate_means(dict(data), num_styles=nd)
+        agg[f"{out_id}_mean"] = agg.pop("_mean")
+        for d in range(1, nd + 1):
+            if f"_mean_s{d}" in agg:
+                agg[f"{out_id}_mean_s{d}"] = agg.pop(f"_mean_s{d}")
+        results[out_id] = agg
+    return results
