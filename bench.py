@@ -21,16 +21,24 @@ import jax.numpy as jnp
 REF_FPS = 1000.0 / 5.87  # reference Johnson DT → 170.4 fps
 
 
-def _measure(model, dtype, batch, H, W, iters=20):
+def _measure(model, dtype, batch, H, W, iters=20, fast=False):
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3), dtype), 1.0, 0
     )["params"]
     params = jax.tree.map(lambda x: x.astype(dtype), params)
 
-    @jax.jit
-    def stylize(p, img):
-        _, out = model.apply({"params": p}, img, 1.0, 0)
-        return jnp.clip(out / 255.0, 0.0, 1.0)
+    if fast:
+        from vst.models.faststyle_fast import fast_stylize
+
+        @jax.jit
+        def stylize(p, img):
+            _, out = fast_stylize(p, img, 1.0, 0, n_styles=3)
+            return jnp.clip(out / 255.0, 0.0, 1.0)
+    else:
+        @jax.jit
+        def stylize(p, img):
+            _, out = model.apply({"params": p}, img, 1.0, 0)
+            return jnp.clip(out / 255.0, 0.0, 1.0)
 
     img = jnp.asarray(np.random.RandomState(0).rand(batch, H, W, 3)).astype(dtype)
     x = stylize(params, img)
@@ -51,14 +59,17 @@ def main():
     model = FastStyleNet(n_styles=3)
 
     configs = [
-        ("f32_b1", jnp.float32, 1),
-        ("bf16_b1", jnp.bfloat16, 1),
-        ("bf16_b4", jnp.bfloat16, 4),
-        ("bf16_b8", jnp.bfloat16, 8),
+        ("f32_b1", jnp.float32, 1, False),
+        ("bf16_b1", jnp.bfloat16, 1, False),
+        ("bf16_b8", jnp.bfloat16, 8, False),
+        # layout-propagated forward (vst.models.faststyle_fast): wins at
+        # batch >= 4 where the phase-dense kernels saturate the MXU
+        ("bf16_b8_fast", jnp.bfloat16, 8, True),
+        ("bf16_b16_fast", jnp.bfloat16, 16, True),
     ]
     results = {}
-    for name, dtype, batch in configs:
-        fps, ms = _measure(model, dtype, batch, H, W)
+    for name, dtype, batch, fast in configs:
+        fps, ms = _measure(model, dtype, batch, H, W, fast=fast)
         results[name] = (fps, ms)
 
     best_name = max(results, key=lambda k: results[k][0])
