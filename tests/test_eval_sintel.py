@@ -60,8 +60,10 @@ def test_tcl_zero_for_identity_generator_and_exact_flow():
         return img
 
     def raft_apply(i1, i2):
-        # ground-truth-flow stub: constant flow retrieved from closure
-        return None, jnp.asarray(gt["fwd"])
+        # ground-truth-flow stub: constant flow tiled to the input batch
+        # (the fused program batches fwd+bwd directions into one call)
+        f = jnp.asarray(gt["fwd"])
+        return None, jnp.broadcast_to(f, (i1.shape[0],) + f.shape[1:])
 
     tcl_prog, _ = make_tcl_program(stylize, raft_apply)
 

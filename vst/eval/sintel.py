@@ -91,18 +91,24 @@ def make_tcl_program(
     """
     prep = raft_preprocess or (lambda x: x)
 
-    def compute_raft(img1, img2):
+    def compute_raft_pair(img1, img2):
+        """Forward AND backward flow in ONE batched RAFT call — doubles the
+        tiny 1/8-res M-dim (RAFT's convs are latency-bound at batch 1 on
+        TPU) and halves dispatches; bit-identical per-direction results."""
         padder = InputPadder(img1.shape)
         i1, i2 = padder.pad(prep(img1), prep(img2))
-        _, flow_up = raft_apply(i1, i2)
-        return padder.unpad(flow_up)
+        a = jnp.concatenate([i1, i2], axis=0)
+        b = jnp.concatenate([i2, i1], axis=0)
+        _, flow_up = raft_apply(a, b)
+        n = img1.shape[0]
+        # first half: RAFT(img1→img2); second half: RAFT(img2→img1)
+        return padder.unpad(flow_up[:n]), padder.unpad(flow_up[n:])
 
     def tcl(img, img2, style):
         """computeTCL parity (sintel_eval.py:104-110): img = current frame,
         img2 = earlier frame."""
         x_fake = stylize_fn(img, style)
-        ff = compute_raft(img2, img)
-        bf = compute_raft(img, img2)
+        ff, bf = compute_raft_pair(img2, img)
         mask = fbc_mask(ff, bf)
         warped = warp(stylize_fn(img2, style), bf)
         val = jnp.sqrt(jnp.mean((mask * (x_fake - warped)) ** 2))
