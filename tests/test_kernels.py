@@ -59,3 +59,38 @@ def test_pallas_conv9_interpret_exact():
     got = pallas_conv9x9(x, w, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_corr_lookup_matches_xla():
+    """The Pallas window-sampling kernel vs the exact XLA gather path
+    (tolerance covers the kernel's bf16 interpolation multiplies on TPU;
+    interpret mode on CPU is exact)."""
+    from vst.flow.corr import build_pyramid, lookup_pyramid
+    from vst.kernels.pallas_corr import pallas_lookup_pyramid
+
+    B, H, W, C = 1, 8, 16, 32
+    f1 = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C))
+    f2 = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, C))
+    pyr = build_pyramid(f1, f2, num_levels=4)
+    coords = jax.random.normal(jax.random.PRNGKey(2), (B, H, W, 2)) * 5 + 6
+    ref = lookup_pyramid(pyr, coords, 4, B)
+    got = pallas_lookup_pyramid(pyr, coords, 4, B)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-3, atol=5e-2)
+
+
+def test_raft_pallas_lookup_flow_close():
+    """Full RAFT with the Pallas lookup must produce flow close to the
+    exact path (same weights)."""
+    from vst.flow.raft import RAFT
+
+    rng = np.random.RandomState(3)
+    i1 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32) * 255)
+    i2 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32) * 255)
+    r_exact = RAFT(small=False, iters=4, pallas_lookup=False)
+    r_fast = RAFT(small=False, iters=4, pallas_lookup=True)
+    p = r_exact.init(jax.random.PRNGKey(0), i1, i2)
+    _, f_exact = r_exact.apply(p, i1, i2)
+    _, f_fast = r_fast.apply(p, i1, i2)
+    err = float(jnp.abs(f_exact - f_fast).max())
+    assert err < 0.05, err

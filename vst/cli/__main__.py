@@ -235,7 +235,7 @@ def _make_raft(args):
 
     from vst.flow.raft import RAFT
 
-    raft = RAFT(small=False, iters=args.raft_iters)
+    raft = RAFT(small=False, iters=args.raft_iters, pallas_lookup=jax.default_backend() == "tpu")
     H, W = args.hw
     img = jnp.zeros((1, H, W, 3), jnp.float32)
     params = raft.init(jax.random.PRNGKey(0), img, img)

@@ -298,13 +298,21 @@ class _IterUpdate(nn.Module):
 
     small: bool
     radius: int
+    pallas_lookup: bool = False
 
     @nn.compact
     def __call__(self, carry, const):
         net, coords1, up_mask = carry
         coords0, inp, pyramid = const
         coords1 = jax.lax.stop_gradient(coords1)  # raft.py:123
-        corr = lookup_pyramid(pyramid, coords1, self.radius, coords1.shape[0])
+        if self.pallas_lookup:
+            from vst.kernels.pallas_corr import pallas_lookup_pyramid
+
+            corr = pallas_lookup_pyramid(pyramid, coords1, self.radius,
+                                         coords1.shape[0])
+        else:
+            corr = lookup_pyramid(pyramid, coords1, self.radius,
+                                  coords1.shape[0])
         flow = coords1 - coords0
         if self.small:
             block = SmallUpdateBlock(96, name="block")
@@ -326,6 +334,8 @@ class RAFT(nn.Module):
     iters: int = 12
     train_mode: bool = False  # return ALL per-iteration upsampled flows
     # (raft.py:121-144 flow_predictions) for the sequence loss
+    pallas_lookup: bool = False  # 5× faster corr window sampling
+    # (vst.kernels.pallas_corr; bf16 interpolation multiplies, ~0.2% rel)
 
     @nn.compact
     def __call__(self, image1, image2,
@@ -377,7 +387,8 @@ class RAFT(nn.Module):
         )
         carry0 = (net, coords1, up_mask0)
         (net, coords1, up_mask), (coords1_all, masks_all) = scan(
-            small=self.small, radius=corr_radius, name="update_iter"
+            small=self.small, radius=corr_radius,
+            pallas_lookup=self.pallas_lookup, name="update_iter"
         )(carry0, (coords0, inp, pyramid))
 
         flow_low = coords1 - coords0
