@@ -119,9 +119,8 @@ def pallas_lookup_level(
     return out[:Q]
 
 
-def pallas_lookup_pyramid(pyramid, coords, radius: int, batch: int,
-                          interpret: bool = False) -> jnp.ndarray:
-    """Drop-in for vst.flow.corr.lookup_pyramid (same channel ordering)."""
+def _lookup_forward(pyramid, coords, radius: int, batch: int,
+                    interpret: bool = False) -> jnp.ndarray:
     B, H, W, _ = coords.shape
     c2 = coords.reshape(B * H * W, 2)
     outs = [
@@ -131,3 +130,30 @@ def pallas_lookup_pyramid(pyramid, coords, radius: int, batch: int,
     n = 2 * radius + 1
     out = jnp.concatenate(outs, axis=-1)
     return out.reshape(B, H, W, len(pyramid) * n * n)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def pallas_lookup_pyramid(pyramid, coords, radius: int, batch: int):
+    """Drop-in for vst.flow.corr.lookup_pyramid (same channel ordering).
+
+    Differentiable: the backward pass routes through the exact XLA gather
+    path's VJP (the Pallas kernel is forward-only) — training graphs that
+    backprop through RAFT (MoGAN) keep exact gradients while inference gets
+    the 16× kernel."""
+    return _lookup_forward(pyramid, coords, radius, batch)
+
+
+def _lookup_fwd(pyramid, coords, radius, batch):
+    return _lookup_forward(pyramid, coords, radius, batch), (pyramid, coords)
+
+
+def _lookup_bwd(radius, batch, res, g):
+    from vst.flow.corr import lookup_pyramid
+
+    pyramid, coords = res
+    _, vjp = jax.vjp(lambda p, c: lookup_pyramid(p, c, radius, batch),
+                     pyramid, coords)
+    return vjp(g)
+
+
+pallas_lookup_pyramid.defvjp(_lookup_fwd, _lookup_bwd)
