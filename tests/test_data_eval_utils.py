@@ -194,3 +194,17 @@ def test_visualizer_html_gallery(tmp_path):
     assert (tmp_path / "web" / "index.html").exists()
     assert (tmp_path / "web" / "images" / "epoch001_fake_B.png").exists()
     assert (tmp_path / "loss_log.txt").read_text().count("\n") >= 2
+
+
+def test_tuple_npy_dataset_roundtrip(tmp_path):
+    from vst.data.loader import TupleNpyDataset, pack_tuple_npy
+
+    d = str(tmp_path / "CO2")
+    pack_tuple_npy(d, 4, hw=(32, 32), n_frames=3, seed=0)
+    ds = TupleNpyDataset(d, batch_size=2, expected_size=4)
+    batches = list(ds.epoch())
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["imgs"].shape == (2, 3, 32, 32, 3)
+    assert b["flows"].shape == (2, 2, 32, 32, 2)
+    assert b["masks"].shape == (2, 2, 32, 32, 1)

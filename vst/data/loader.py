@@ -106,3 +106,80 @@ class NpyDirDataset:
                 "masks": x[..., 6:7][:, None],
                 "flows": x[..., 7:9][:, None],
             }
+
+
+class TupleNpyDataset:
+    """HW2/CO2-style directory of pickled-tuple ``.npy`` files.
+
+    Format parity with ``methods/learning-based/datasets.py:100-137``
+    (Hollywood2Dataset / COCODataset): each file holds a pickled
+    (frames, flows, masks) tuple of per-frame arrays, concatenated
+    channelwise by the loader. Emits the same dict layout as NpyDirDataset:
+    imgs (B, n, H, W, 3), masks (B, n−1, H, W, 1), flows (B, n−1, H, W, 2).
+    """
+
+    def __init__(self, data_dir: str, batch_size: int, seed: int = 0,
+                 expected_size: Optional[int] = None):
+        import os
+
+        self.data_dir = data_dir
+        self.files = sorted(os.listdir(data_dir))
+        if expected_size is not None:
+            assert len(self.files) == expected_size, (
+                f"dataset size {len(self.files)} != expected {expected_size}"
+            )
+        self.batch_size = batch_size
+        self.length = (len(self.files) // batch_size) * batch_size
+        import numpy as np
+
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return self.length // self.batch_size
+
+    def epoch(self, shuffle: bool = True):
+        import os
+        import numpy as np
+
+        order = np.arange(self.length)
+        if shuffle:
+            self._rng.shuffle(order)
+        bs = self.batch_size
+        for i in range(0, self.length, bs):
+            imgs, masks, flows = [], [], []
+            for j in order[i:i + bs]:
+                frames, fls, mks = np.load(
+                    os.path.join(self.data_dir, self.files[j]),
+                    allow_pickle=True,
+                )
+                imgs.append(np.stack(list(frames)))
+                flows.append(np.stack(list(fls)))
+                m = np.stack(list(mks))
+                if m.ndim == 3:
+                    m = m[..., None]
+                masks.append(m)
+            yield {
+                "imgs": np.stack(imgs).astype(np.float32),
+                "masks": np.stack(masks).astype(np.float32),
+                "flows": np.stack(flows).astype(np.float32),
+            }
+
+
+def pack_tuple_npy(out_dir: str, n_samples: int, hw=(64, 64),
+                   n_frames: int = 3, seed: int = 0):
+    """Materialize HW2/CO2-format pickled tuples from the affine-motion
+    synthesizer (what coco-generation.py:345-347 writes)."""
+    import os
+    import numpy as np
+
+    from vst.data.synthetic import synthetic_batch
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n_samples):
+        b = synthetic_batch(1, hw=hw, n_frames=n_frames, seed=seed + i)
+        frames = [b["imgs"][0, t] for t in range(n_frames)]
+        flows = [b["flows"][0, t] for t in range(n_frames - 1)]
+        masks = [b["masks"][0, t] for t in range(n_frames - 1)]
+        np.save(os.path.join(out_dir, f"{i:07d}.npy"),
+                np.asarray([frames, flows, masks], dtype=object),
+                allow_pickle=True)
