@@ -9,52 +9,47 @@ from __future__ import annotations
 import numpy as np
 
 
+# hue segment lengths of the standard Baker wheel, as (length, from, to)
+# RGB keypoint transitions: R→Y→G→C→B→M→R
+_SEGMENTS = (
+    (15, (255, 0, 0), (255, 255, 0)),    # RY
+    (6, (255, 255, 0), (0, 255, 0)),     # YG
+    (4, (0, 255, 0), (0, 255, 255)),     # GC
+    (11, (0, 255, 255), (0, 0, 255)),    # CB
+    (13, (0, 0, 255), (255, 0, 255)),    # BM
+    (6, (255, 0, 255), (255, 0, 0)),     # MR
+)
+
+
 def make_colorwheel() -> np.ndarray:
-    """55-color wheel (RY=15, YG=6, GC=4, CB=11, BM=13, MR=6)."""
-    RY, YG, GC, CB, BM, MR = 15, 6, 4, 11, 13, 6
-    ncols = RY + YG + GC + CB + BM + MR
-    wheel = np.zeros((ncols, 3))
-    col = 0
-    wheel[0:RY, 0] = 255
-    wheel[0:RY, 1] = np.floor(255 * np.arange(0, RY) / RY)
-    col += RY
-    wheel[col:col + YG, 0] = 255 - np.floor(255 * np.arange(0, YG) / YG)
-    wheel[col:col + YG, 1] = 255
-    col += YG
-    wheel[col:col + GC, 1] = 255
-    wheel[col:col + GC, 2] = np.floor(255 * np.arange(0, GC) / GC)
-    col += GC
-    wheel[col:col + CB, 1] = 255 - np.floor(255 * np.arange(CB) / CB)
-    wheel[col:col + CB, 2] = 255
-    col += CB
-    wheel[col:col + BM, 2] = 255
-    wheel[col:col + BM, 0] = np.floor(255 * np.arange(0, BM) / BM)
-    col += BM
-    wheel[col:col + MR, 2] = 255 - np.floor(255 * np.arange(MR) / MR)
-    wheel[col:col + MR, 0] = 255
-    return wheel
+    """55-entry Baker color wheel built by lerping the hue keypoints."""
+    rows = []
+    for length, c_from, c_to in _SEGMENTS:
+        t = np.floor(255 * np.arange(length) / length) / 255.0
+        c_from = np.asarray(c_from, np.float64)
+        c_to = np.asarray(c_to, np.float64)
+        step = np.sign(c_to - c_from)
+        rows.append(c_from + step * t[:, None] * 255.0)
+    return np.concatenate(rows, axis=0)
 
 
 def flow_uv_to_colors(u: np.ndarray, v: np.ndarray,
                       convert_to_bgr: bool = False) -> np.ndarray:
-    wheel = make_colorwheel()
+    wheel = make_colorwheel() / 255.0  # (ncols, 3)
     ncols = wheel.shape[0]
     rad = np.sqrt(u ** 2 + v ** 2)
-    a = np.arctan2(-v, -u) / np.pi
-    fk = (a + 1) / 2 * (ncols - 1)
+    angle = np.arctan2(-v, -u) / np.pi  # [−1, 1]
+    fk = (angle + 1) / 2 * (ncols - 1)
     k0 = np.floor(fk).astype(np.int32)
     k1 = (k0 + 1) % ncols
-    f = fk - k0
-    out = np.zeros(u.shape + (3,), np.uint8)
-    for i in range(3):
-        col0 = wheel[k0, i] / 255.0
-        col1 = wheel[k1, i] / 255.0
-        col = (1 - f) * col0 + f * col1
-        idx = rad <= 1
-        col[idx] = 1 - rad[idx] * (1 - col[idx])
-        col[~idx] = col[~idx] * 0.75
-        ch = 2 - i if convert_to_bgr else i
-        out[..., ch] = np.floor(255 * col)
+    frac = (fk - k0)[..., None]
+
+    col = (1 - frac) * wheel[k0] + frac * wheel[k1]  # (..., 3)
+    inside = (rad <= 1)[..., None]
+    col = np.where(inside, 1 - rad[..., None] * (1 - col), col * 0.75)
+    out = np.floor(255 * col).astype(np.uint8)
+    if convert_to_bgr:
+        out = out[..., ::-1]
     return out
 
 
