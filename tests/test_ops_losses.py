@@ -57,3 +57,17 @@ def test_normalize():
     got = np.asarray(normalize_imagenet(jnp.asarray(x)))
     want = (x - np.array(IMAGENET_MEAN, np.float32)) / np.array(IMAGENET_STD, np.float32)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_tv_loss_zero_gradient_at_flat_regions():
+    """sqrt-at-0 subgradient: a perfectly flat image must give ZERO TV
+    gradients, not NaN (TPU bf16 rounding makes exact zeros common; NaN
+    propagates even through a 0 loss weight)."""
+    import jax
+
+    x = jnp.ones((1, 8, 8, 3))
+    g = jax.grad(lambda x: 0.0 * tv_loss(x))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    g2 = jax.grad(tv_loss)(x)
+    assert np.isfinite(np.asarray(g2)).all()
+    np.testing.assert_array_equal(np.asarray(g2), 0.0)

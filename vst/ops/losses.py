@@ -30,6 +30,19 @@ def gram_matrix_obst(x: jnp.ndarray) -> jnp.ndarray:
     return gram_matrix(x)
 
 
+def _safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt with a ZERO subgradient at x == 0.
+
+    d/dx √x → ∞ as x → 0⁺; when adjacent pixels round to exactly equal
+    values (common under TPU bf16 matmuls, rare in f32 — the torch reference
+    has the same landmine but seldom steps on it), the training step turns
+    NaN — even with a zero loss weight, since 0·∞ = NaN in the chain rule.
+    Values are exact (√0 = 0); only the undefined subgradient is chosen as 0.
+    """
+    nonzero = x > 0
+    return jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, x, 1.0)), 0.0)
+
+
 def tv_loss(x: jnp.ndarray) -> jnp.ndarray:
     """Total variation, parity with ``fast_style_transfer.py:795-803``
     (``calc_tv_loss``): channelwise-L2 of forward differences, sqrt of the
@@ -39,7 +52,7 @@ def tv_loss(x: jnp.ndarray) -> jnp.ndarray:
     sij1 = x[:, :-1, 1:, :]   # +1 in W  (torch dim 3)
     tv1 = jnp.sum((sij1 - sij) ** 2, axis=-1)
     tv2 = jnp.sum((si1j - sij) ** 2, axis=-1)
-    return jnp.sum(jnp.sqrt(tv1 + tv2))
+    return jnp.sum(_safe_sqrt(tv1 + tv2))
 
 
 def normalize_imagenet(img: jnp.ndarray) -> jnp.ndarray:
