@@ -116,7 +116,9 @@ class StarGANTrainer:
 
         g = jax.grad(src_sum)(x_hat)
         g = g.reshape(x_hat.shape[0], -1)
-        norm = jnp.sqrt(jnp.sum(g ** 2, axis=1))
+        # tiny floor guards the sqrt subgradient if D's input-gradient is
+        # exactly 0 (same NaN class as the TV loss; values unchanged)
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(g ** 2, axis=1), 1e-24))
         return jnp.mean((norm - 1.0) ** 2)
 
     def d_step(self):
