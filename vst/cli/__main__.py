@@ -321,6 +321,15 @@ def cmd_datagen_styled(args):
     print(f"styled {args.n_samples} images into {args.out_dir}")
 
 
+def cmd_datagen_corpus(args):
+    from vst.data.datagen import generate_fc2_corpus
+
+    generate_fc2_corpus(args.out_dir, args.n_samples, hw=tuple(args.hw),
+                        style_dir=args.style_dir, iters=tuple(args.iters),
+                        batch_size=args.batch_size, seed=args.seed)
+    print(f"corpus of {args.n_samples} pairs × domains in {args.out_dir}")
+
+
 def cmd_bench(args):
     import bench
 
@@ -389,6 +398,13 @@ def main(argv=None):
     p.add_argument("--style-dir", type=str, default=None)
     p.add_argument("--iters", type=int, nargs="+", default=(50, 40, 30))
     p.set_defaults(fn=cmd_datagen_styled)
+
+    p = sub.add_parser("datagen-corpus")
+    _add_common(p)
+    p.add_argument("--n-samples", type=int, default=512)
+    p.add_argument("--style-dir", type=str, default=None)
+    p.add_argument("--iters", type=int, nargs="+", default=(30, 25, 20))
+    p.set_defaults(fn=cmd_datagen_corpus)
 
     p = sub.add_parser("demo")
     _add_common(p)

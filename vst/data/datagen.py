@@ -136,6 +136,102 @@ def precompute_lt_flow(
     return out
 
 
+def generate_fc2_corpus(
+    out_root: str,
+    n_samples: int,
+    hw=(256, 256),
+    style_dir: Optional[str] = None,
+    iters: Sequence[int] = (30, 25, 20),
+    batch_size: int = 16,
+    seed: int = 0,
+    grayscale_styles: Sequence[int] = (3,),
+    skip_existing: bool = True,
+):
+    """Materialize the COMPLETE pseudo-paired FC2 corpus layout consumed by
+    DatasetFC2 / CycleGANFC2Dataset (the reference's ``styled-files/`` +
+    ``styled-files3/`` + ``DATAFiles/`` trio, ``core/data_loader.py:232-250``):
+
+    * ``DATAFiles/<name>.npy``      — (1, H, W, 9) img1 ⊕ img2 ⊕ mask ⊕ bw-flow
+    * ``styled-files/style{k}/<name>.jpg``        — frame-1 per domain
+    * ``styled-files3/style{k}/<name>_2.jpg``     — frame-2 per domain
+
+    Content = structured synthetic scenes with affine motion (analytic flow),
+    style0 = raw content, style k ≥ 1 = Gatys/OBST-stylized (both frames,
+    batched LBFGS on-device), style 3 grayscale-postprocessed like the
+    reference (datagen.py:131-148)."""
+    import imageio.v2 as imageio
+
+    from vst.data.styles import load_style_images
+    from vst.data.synthetic import AffineMotionGenerator, _scene
+    from vst.models.gatys import OBST
+    from vst.perceptual.vgg import obst_prep, obst_postp
+
+    data_dir = os.path.join(out_root, "DATAFiles")
+    sdir = os.path.join(out_root, "styled-files")
+    tdir = os.path.join(out_root, "styled-files3")
+    styles = load_style_images(style_dir, size=256)
+    n_styles = styles.shape[0]
+    os.makedirs(data_dir, exist_ok=True)
+    for k in range(n_styles + 1):
+        os.makedirs(os.path.join(sdir, f"style{k}"), exist_ok=True)
+        os.makedirs(os.path.join(tdir, f"style{k}"), exist_ok=True)
+
+    def save(path, img01):
+        imageio.imwrite(path, (np.clip(img01, 0, 1) * 255).astype(np.uint8))
+
+    # -- content frames + analytic flow/mask --------------------------------
+    rng = np.random.RandomState(seed)
+    gen = AffineMotionGenerator(crop_hw=hw, seed=seed + 1)
+    big = (hw[0] + 96, hw[1] + 96)
+    names, f1s, f2s = [], [], []
+    for i in range(n_samples):
+        name = f"{i:07d}"
+        names.append(name)
+        frames, flows, masks = gen.generate(_scene(rng, big), n_frames=2)
+        f1s.append(frames[0])
+        f2s.append(frames[1])
+        npy = os.path.join(data_dir, name + ".npy")
+        if not (skip_existing and os.path.exists(npy)):
+            packed = np.concatenate(
+                [frames[0], frames[1], masks[0], flows[0]], axis=-1
+            )[None].astype(np.float32)
+            np.save(npy, packed)
+        p1 = os.path.join(sdir, "style0", name + ".jpg")
+        p2 = os.path.join(tdir, "style0", name + "_2.jpg")
+        if not (skip_existing and os.path.exists(p1)):
+            save(p1, frames[0])
+        if not (skip_existing and os.path.exists(p2)):
+            save(p2, frames[1])
+
+    # -- Gatys-styled domains (both frames, batched LBFGS) ------------------
+    pyr = ((hw[0] // 4, hw[1] // 4), (hw[0] // 2, hw[1] // 2), tuple(hw))
+    obst = OBST(max_iters=tuple(iters))
+    for sid in range(n_styles):
+        obst.set_style(styles[sid], pyr)
+        # flat list of (out_path, content) spanning both frames
+        jobs = []
+        for name, f1, f2 in zip(names, f1s, f2s):
+            jobs.append((os.path.join(sdir, f"style{sid + 1}", name + ".jpg"), f1))
+            jobs.append((os.path.join(tdir, f"style{sid + 1}", name + "_2.jpg"), f2))
+        jobs = [(p, img) for p, img in jobs
+                if not (skip_existing and os.path.exists(p))]
+        for i in range(0, len(jobs), batch_size):
+            chunk = jobs[i:i + batch_size]
+            batch = jnp.stack([jnp.asarray(img) for _, img in chunk])
+            if batch.shape[0] < batch_size:  # pad tail — avoid a recompile
+                pad = batch_size - batch.shape[0]
+                batch = jnp.concatenate([batch, batch[:1].repeat(pad, 0)], 0)
+            x = obst_prep(batch)
+            styled = obst.run(x, x, jnp.zeros(x.shape[:3] + (1,)), pyr,
+                              weight_tcl=0.0)
+            rgb = np.asarray(obst_postp(styled))
+            for (path, _), img01 in zip(chunk, rgb):
+                if (sid + 1) in grayscale_styles:
+                    img01 = to_grayscale3(img01)
+                save(path, img01)
+        print(f"corpus: style{sid + 1} done ({len(jobs)} images)", flush=True)
+
+
 def pack_fc2_npy(out_dir: str, n_samples: int, hw=(256, 256), seed: int = 0):
     """Materialize FC2-style training .npy files ((1, H, W, 9) channelwise)
     from the affine-motion synthesizer — the test/CI stand-in for the real

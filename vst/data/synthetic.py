@@ -153,6 +153,47 @@ def _texture(rng: np.random.RandomState, hw) -> np.ndarray:
     return img
 
 
+def _scene(rng: np.random.RandomState, hw) -> np.ndarray:
+    """Structured content image: gradient background + random anti-aliased
+    shapes (circles / rectangles / lines) + mild texture. Stands in for the
+    photographic FC2/COCO content the reference trains on — unlike the
+    sinusoid ``_texture``, scenes have edges and flat regions, so styled
+    outputs visibly separate content structure from style statistics."""
+    h, w = hw
+    ys, xs = np.meshgrid(np.linspace(0, 1, h, dtype=np.float32),
+                         np.linspace(0, 1, w, dtype=np.float32), indexing="ij")
+    c0 = rng.uniform(0.1, 0.9, 3).astype(np.float32)
+    c1 = rng.uniform(0.1, 0.9, 3).astype(np.float32)
+    ang = rng.uniform(0, 2 * np.pi)
+    t = (np.cos(ang) * xs + np.sin(ang) * ys)
+    t = (t - t.min()) / max(t.max() - t.min(), 1e-6)
+    img = c0[None, None] * (1 - t[..., None]) + c1[None, None] * t[..., None]
+
+    canvas = np.ascontiguousarray(img)
+    for _ in range(rng.randint(6, 14)):
+        color = tuple(float(v) for v in rng.uniform(0.05, 0.95, 3))
+        kind = rng.randint(3)
+        if kind == 0:
+            center = (int(rng.randint(0, w)), int(rng.randint(0, h)))
+            cv2.circle(canvas, center, int(rng.randint(8, max(min(h, w) // 4, 9))),
+                       color, -1, lineType=cv2.LINE_AA)
+        elif kind == 1:
+            x0, y0 = rng.randint(0, w), rng.randint(0, h)
+            x1 = np.clip(x0 + rng.randint(10, w // 2), 0, w - 1)
+            y1 = np.clip(y0 + rng.randint(10, h // 2), 0, h - 1)
+            cv2.rectangle(canvas, (int(x0), int(y0)), (int(x1), int(y1)),
+                          color, -1, lineType=cv2.LINE_AA)
+        else:
+            p0 = (int(rng.randint(0, w)), int(rng.randint(0, h)))
+            p1 = (int(rng.randint(0, w)), int(rng.randint(0, h)))
+            cv2.line(canvas, p0, p1, color, int(rng.randint(2, 8)),
+                     lineType=cv2.LINE_AA)
+    # mild multiplicative texture so flat regions carry gradients
+    tex = _texture(rng, hw)
+    out = np.clip(canvas * (0.85 + 0.3 * tex), 0.0, 1.0)
+    return out.astype(np.float32)
+
+
 def synthetic_batch(
     batch_size: int,
     hw=(256, 256),

@@ -86,3 +86,85 @@ class FastStyleNet(nn.Module):
         x = ConvTanh(3, 9, stride=1)(x)
 
         return features, x
+
+
+def faststyle_params_from_torch(sd: dict) -> dict:
+    """Convert a torch FastStyleNet state dict (``network.py:263-298``) to
+    this module's param tree. Handles both the single-style layout
+    (``instance.{weight,bias}`` = affine InstanceNorm2d) and the multi-style
+    ConditionalBatchNorm2d layout (``instance.bn.{weight,bias}`` +
+    ``instance.embed.weight``, network.py:120-145)."""
+    import numpy as np
+
+    def t2j(w):
+        try:
+            w = w.detach().cpu().numpy()
+        except AttributeError:
+            w = np.asarray(w)
+        if w.ndim == 4:  # conv (O, I, kh, kw) → (kh, kw, I, O)
+            w = w.transpose(2, 3, 1, 0)
+        return w
+
+    out: dict = {}
+
+    def put(path, leaf, value):
+        node = out
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf] = value
+
+    def put_norm(scope, rest, val):
+        # rest: ('weight'|'bias') | ('bn','weight'|'bias') | ('embed','weight')
+        if rest[0] == "bn":
+            put([scope, "ConditionalInstanceNorm_0"],
+                "scale" if rest[1] == "weight" else "bias", t2j(val))
+        elif rest[0] == "embed":
+            put([scope, "ConditionalInstanceNorm_0"], "embed", t2j(val))
+        else:
+            put([scope, "InstanceNorm_0"],
+                "scale" if rest[0] == "weight" else "bias", t2j(val))
+
+    for key, val in sd.items():
+        k = key[len("module."):] if key.startswith("module.") else key
+        parts = k.split(".")
+        mod, rest = parts[0], parts[1:]
+
+        if mod.startswith("conv") and mod != "conv2d":  # conv1..conv3 stages
+            i = int(mod[4:]) - 1
+            if rest[0] == "conv2d":
+                put([f"ConvLayer_{i}", "TorchConv_0", "Conv_0"],
+                    "kernel" if rest[1] == "weight" else "bias", t2j(val))
+            elif rest[0] == "instance":
+                put_norm(f"_Norm_{i}", rest[1:], val)
+            else:
+                raise KeyError(f"unmapped key {key}")
+        elif mod.startswith("res"):
+            j = int(mod[3:]) - 1
+            scope = f"ResidualBlock_{j}"
+            if rest[0] == "layer_strength":
+                put([scope], "layer_strength", t2j(val))
+            elif rest[0] in ("conv1", "conv2"):
+                put([scope, f"ConvLayer_{int(rest[0][-1]) - 1}",
+                     "TorchConv_0", "Conv_0"],
+                    "kernel" if rest[2] == "weight" else "bias", t2j(val))
+            elif rest[0] in ("in1", "in2"):
+                put([scope, f"InstanceNorm_{int(rest[0][-1]) - 1}"],
+                    "scale" if rest[1] == "weight" else "bias", t2j(val))
+            else:
+                raise KeyError(f"unmapped key {key}")
+        elif mod in ("deconv1", "deconv2"):
+            i = int(mod[6:]) - 1
+            if rest[0] == "conv2d":
+                put([f"UpsampleConvLayer_{i}", "TorchConv_0", "Conv_0"],
+                    "kernel" if rest[1] == "weight" else "bias", t2j(val))
+            elif rest[0] == "instance":
+                put_norm(f"_Norm_{3 + i}", rest[1:], val)
+            else:
+                raise KeyError(f"unmapped key {key}")
+        elif mod == "deconv3":
+            put(["ConvTanh_0", "ConvLayer_0", "TorchConv_0", "Conv_0"],
+                "kernel" if rest[1] == "weight" else "bias", t2j(val))
+        else:
+            raise KeyError(f"unmapped key {key}")
+
+    return out

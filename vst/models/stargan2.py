@@ -284,3 +284,167 @@ class Discriminator(nn.Module):
         return jnp.take_along_axis(
             out, y[:, None].astype(jnp.int32), axis=1, mode="clip"
         )[:, 0]
+
+
+def _sg2_t2j(w):
+    import numpy as np
+
+    try:
+        w = w.detach().cpu().numpy()
+    except AttributeError:
+        w = np.asarray(w)
+    if w.ndim == 4:  # conv (O, I, kh, kw) → (kh, kw, I, O)
+        w = w.transpose(2, 3, 1, 0)
+    elif w.ndim == 2:  # linear (out, in) → (in, out)
+        w = w.transpose(1, 0)
+    return w
+
+
+def _put(tree, path, leaf, value):
+    node = tree
+    for p in path:
+        node = node.setdefault(p, {})
+    node[leaf] = value
+
+
+def _conv_leaf(torch_leaf):
+    return "kernel" if torch_leaf == "weight" else "bias"
+
+
+def _resblk_put(out, scope, rest, val):
+    """Map a reference ResBlk sub-key (conv1/conv2/norm1/norm2/conv1x1,
+    model.py:23-64) into the vst ResBlk scope."""
+    if rest[0] in ("conv1", "conv2", "conv1x1"):
+        _put(out, [scope, rest[0], "Conv_0"], _conv_leaf(rest[1]),
+             _sg2_t2j(val))
+    elif rest[0] in ("norm1", "norm2"):
+        _put(out, [scope, rest[0]],
+             "scale" if rest[1] == "weight" else "bias", _sg2_t2j(val))
+    else:
+        raise KeyError(f"unmapped ResBlk key {scope}.{'.'.join(rest)}")
+
+
+def _adainblk_put(out, scope, rest, val):
+    """Map a reference AdainResBlk sub-key (conv1/conv2/conv1x1/norm{1,2}.fc,
+    model.py:80-117) into the vst AdainResBlk scope."""
+    if rest[0] in ("conv1", "conv2", "conv1x1"):
+        _put(out, [scope, rest[0], "Conv_0"], _conv_leaf(rest[1]),
+             _sg2_t2j(val))
+    elif rest[0] in ("norm1", "norm2"):
+        assert rest[1] == "fc"
+        _put(out, [scope, rest[0], "fc", "Dense_0"],
+             "kernel" if rest[2] == "weight" else "bias", _sg2_t2j(val))
+    else:
+        raise KeyError(f"unmapped AdainResBlk key {scope}.{'.'.join(rest)}")
+
+
+def generator_params_from_torch(sd: dict, img_size: int = 256,
+                                w_hpf: int = 0) -> dict:
+    """Torch StarGAN-v2 Generator state dict (model.py:135-186) → vst tree.
+
+    The reference builds ``decode`` as a stack (insert(0), model.py:152-165):
+    decode[0..1] are the bottleneck AdainResBlks and decode[2+i] the
+    upsampling ones in reverse-encoder order — exactly the order the vst
+    Generator names decode_{i}, so indices map 1:1."""
+    out: dict = {}
+    for key, val in sd.items():
+        k = key[len("module."):] if key.startswith("module.") else key
+        parts = k.split(".")
+        if parts[0] == "from_rgb":
+            _put(out, ["from_rgb", "Conv_0"], _conv_leaf(parts[1]),
+                 _sg2_t2j(val))
+        elif parts[0] == "encode":
+            _resblk_put(out, f"encode_{int(parts[1])}", parts[2:], val)
+        elif parts[0] == "decode":
+            _adainblk_put(out, f"decode_{int(parts[1])}", parts[2:], val)
+        elif parts[0] == "to_rgb":
+            if parts[1] == "0":  # InstanceNorm2d(affine=True)
+                _put(out, ["to_rgb_norm"],
+                     "scale" if parts[2] == "weight" else "bias",
+                     _sg2_t2j(val))
+            elif parts[1] == "2":  # 1×1 conv
+                _put(out, ["to_rgb", "Conv_0"], _conv_leaf(parts[2]),
+                     _sg2_t2j(val))
+            else:
+                raise KeyError(f"unmapped key {key}")
+        elif parts[0] == "hpf":
+            continue  # fixed Laplacian buffer, not a parameter
+        else:
+            raise KeyError(f"unmapped key {key}")
+    return out
+
+
+def mapping_params_from_torch(sd: dict) -> dict:
+    """Torch MappingNetwork state dict (model.py:189-218) → vst tree.
+    shared.{0,2,4,6} are the Linear layers (odd indices are ReLUs);
+    unshared.{d}.{0,2,4,6} likewise."""
+    out: dict = {}
+    for key, val in sd.items():
+        k = key[len("module."):] if key.startswith("module.") else key
+        parts = k.split(".")
+        if parts[0] == "shared":
+            i = int(parts[1]) // 2
+            _put(out, [f"shared_{i}", "Dense_0"],
+                 "kernel" if parts[2] == "weight" else "bias", _sg2_t2j(val))
+        elif parts[0] == "unshared":
+            d, i = int(parts[1]), int(parts[2]) // 2
+            _put(out, [f"unshared_{d}_{i}", "Dense_0"],
+                 "kernel" if parts[3] == "weight" else "bias", _sg2_t2j(val))
+        else:
+            raise KeyError(f"unmapped key {key}")
+    return out
+
+
+def style_encoder_params_from_torch(sd: dict, img_size: int = 256) -> dict:
+    """Torch StyleEncoder state dict (model.py:221-252) → vst tree.
+    shared.0 = from_rgb conv, shared.{1..rep} = ResBlks, shared.{rep+2} =
+    the 4×4 conv_out (rep+1 and rep+3 are LeakyReLUs)."""
+    repeat_num = int(np.log2(img_size)) - 2
+    out: dict = {}
+    for key, val in sd.items():
+        k = key[len("module."):] if key.startswith("module.") else key
+        parts = k.split(".")
+        if parts[0] == "shared":
+            i = int(parts[1])
+            if i == 0:
+                _put(out, ["from_rgb", "Conv_0"], _conv_leaf(parts[2]),
+                     _sg2_t2j(val))
+            elif 1 <= i <= repeat_num:
+                _resblk_put(out, f"block_{i - 1}", parts[2:], val)
+            elif i == repeat_num + 2:
+                _put(out, ["conv_out", "Conv_0"], _conv_leaf(parts[2]),
+                     _sg2_t2j(val))
+            else:
+                raise KeyError(f"unmapped key {key}")
+        elif parts[0] == "unshared":
+            _put(out, [f"unshared_{int(parts[1])}", "Dense_0"],
+                 "kernel" if parts[2] == "weight" else "bias", _sg2_t2j(val))
+        else:
+            raise KeyError(f"unmapped key {key}")
+    return out
+
+
+def discriminator_params_from_torch(sd: dict, img_size: int = 256) -> dict:
+    """Torch Discriminator state dict (model.py:255-279) → vst tree.
+    main.0 = from_rgb, main.{1..rep} = ResBlks, main.{rep+2} = 4×4 conv_out,
+    main.{rep+4} = 1×1 domain head."""
+    repeat_num = int(np.log2(img_size)) - 2
+    out: dict = {}
+    for key, val in sd.items():
+        k = key[len("module."):] if key.startswith("module.") else key
+        parts = k.split(".")
+        assert parts[0] == "main", f"unmapped key {key}"
+        i = int(parts[1])
+        if i == 0:
+            _put(out, ["from_rgb", "Conv_0"], _conv_leaf(parts[2]),
+                 _sg2_t2j(val))
+        elif 1 <= i <= repeat_num:
+            _resblk_put(out, f"block_{i - 1}", parts[2:], val)
+        elif i == repeat_num + 2:
+            _put(out, ["conv_out", "Conv_0"], _conv_leaf(parts[2]),
+                 _sg2_t2j(val))
+        elif i == repeat_num + 4:
+            _put(out, ["head", "Conv_0"], _conv_leaf(parts[2]), _sg2_t2j(val))
+        else:
+            raise KeyError(f"unmapped key {key}")
+    return out
