@@ -68,9 +68,13 @@ def main():
         ("bf16_b16_fast", jnp.bfloat16, 16, True),
     ]
     results = {}
-    for name, dtype, batch, fast in configs:
-        fps, ms = _measure(model, dtype, batch, H, W, fast=fast)
-        results[name] = (fps, ms)
+    from vst.core.trace import annotate, profile_trace
+
+    with profile_trace():  # no-op unless VST_PROFILE_DIR is set
+        for name, dtype, batch, fast in configs:
+            with annotate(f"bench/{name}"):
+                fps, ms = _measure(model, dtype, batch, H, W, fast=fast)
+            results[name] = (fps, ms)
 
     best_name = max(results, key=lambda k: results[k][0])
     best_fps, _ = results[best_name]

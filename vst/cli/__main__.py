@@ -114,31 +114,54 @@ def cmd_train_cyclegan(args):
     ckpt = Checkpointer(args.out_dir)
     rng = jax.random.PRNGKey(args.seed)
 
+    def cyclegan_batches():
+        """Real pseudo-paired corpus (one model per style sid,
+        CycleGAN_train_sid{1,2,3}.sh) when --data-dir is a corpus root,
+        synthetic otherwise. The unpaired GAN objective samples A and B
+        independently; the +Con/MoGAN temporal terms additionally use the
+        GT mask/flow of the A-side pair."""
+        import os
+
+        if args.data_dir and os.path.isdir(
+                os.path.join(args.data_dir, "styled-files")):
+            from vst.data.fc2 import CycleGANFC2Dataset
+
+            ds = CycleGANFC2Dataset(args.data_dir, sid=args.sid,
+                                    with_flow=True)
+            e = 0
+            while True:
+                yield from ds.epoch(args.batch_size, seed=args.seed + e)
+                e += 1
+        else:
+            j = 0
+            while True:
+                for b in synthetic_fc2_batches(
+                        4, args.batch_size, hw=tuple(args.hw),
+                        num_dom=2, seed=args.seed + j):
+                    yield {
+                        "real_A": b["x_src"], "real_A2": b["x2_src"],
+                        "real_B": b["x_ref"], "real_B2": b["x_ref"],
+                        "mask": b["mask"], "flow": b["flow"],
+                    }
+                j += 4
+
     i = 0
-    while i < args.steps:
-        for b in synthetic_fc2_batches(4, args.batch_size, hw=tuple(args.hw),
-                                       num_dom=2, seed=args.seed + i):
-            batch = {
-                "real_A": jnp.asarray(b["x_src"]),
-                "real_A2": jnp.asarray(b["x2_src"]),
-                "real_B": jnp.asarray(b["x_ref"]),
-                "real_B2": jnp.asarray(b["x_ref"]),
-                "mask": jnp.asarray(b["mask"]),
-                "flow": jnp.asarray(b["flow"]),
-            }
-            rng, sub = jax.random.split(rng)
-            if m_step is not None and i % 2 == 1:
-                state, metrics = m_step(state, batch)
-            else:
-                state, metrics = e_step(state, batch, sub)
-            i += 1
-            if i % args.log_every == 0:
-                logger.log(i, **{k: float(v) for k, v in metrics.items()})
-                print(f"[{i}/{args.steps}] G: {float(metrics.get('G', 0)):.3f}")
-            if i % args.ckpt_every == 0 or i == args.steps:
-                ckpt.save(i, params=state.params)
-            if i >= args.steps:
-                break
+    for b in cyclegan_batches():
+        batch = {k: jnp.asarray(v) for k, v in b.items()}
+        rng, sub = jax.random.split(rng)
+        if m_step is not None and i % 2 == 1:
+            state, metrics = m_step(state, batch)
+        else:
+            state, metrics = e_step(state, batch, sub)
+        i += 1
+        if i % args.log_every == 0:
+            logger.log(i, **{k: float(v) for k, v in metrics.items()})
+            print(f"[{i}/{args.steps}] G: {float(metrics.get('G', 0)):.3f}",
+                  flush=True)
+        if i % args.ckpt_every == 0 or i == args.steps:
+            ckpt.save(i, params=state.params)
+        if i >= args.steps:
+            break
 
 
 def cmd_train_stargan(args):
@@ -204,29 +227,78 @@ def cmd_train_stargan2(args):
     ckpt = Checkpointer(args.out_dir)
     rng = jax.random.PRNGKey(args.seed)
 
+    def fc2_batches():
+        """Real corpus epochs when --data-dir holds the styled-files trio
+        (97% train split, data_loader.py:295-317), synthetic otherwise."""
+        import os
+
+        if args.data_dir and os.path.isdir(
+                os.path.join(args.data_dir, "DATAFiles")):
+            from vst.data.fc2 import DatasetFC2, FC2Loader, train_eval_split
+
+            ds = DatasetFC2(os.path.join(args.data_dir, "DATAFiles"),
+                            os.path.join(args.data_dir, "styled-files"),
+                            os.path.join(args.data_dir, "styled-files3"),
+                            num_dom=args.num_domains, base_len=None)
+            tr, _ = train_eval_split(len(ds), split=0.97, seed=args.seed)
+            loader = FC2Loader(ds, tr, args.batch_size, seed=args.seed)
+            while True:
+                yield from loader.epoch()
+        else:
+            j = 0
+            while True:
+                yield from synthetic_fc2_batches(
+                    4, args.batch_size, hw=tuple(args.hw),
+                    num_dom=args.num_domains, seed=args.seed + j)
+                j += 4
+
     i = 0
-    while i < args.steps:
-        for b in synthetic_fc2_batches(4, args.batch_size, hw=tuple(args.hw),
-                                       num_dom=args.num_domains, seed=args.seed + i):
-            batch = {
-                "x_real": jnp.asarray(b["x_src"]),
-                "x_real2": jnp.asarray(b["x2_src"]),
-                "x_ref": jnp.asarray(b["x_ref"]),
-                "y_org": jnp.asarray(b["y_src"]),
-                "y_trg": jnp.asarray(b["y_ref"]),
-                "mask": jnp.asarray(b["mask"]),
-                "flow": jnp.asarray(b["flow"]),
-            }
-            rng, sub = jax.random.split(rng)
-            state, metrics = trainer.train_iteration(state, batch, sub)
-            i += 1
-            if i % args.log_every == 0:
-                logger.log(i, **{k: float(v) for k, v in metrics.items()})
-                print(f"[{i}/{args.steps}] adv: {float(metrics['G/latent_adv']):.3f}")
-            if i % args.ckpt_every == 0 or i == args.steps:
-                ckpt.save(i, nets=state.params, nets_ema=state.ema)
-            if i >= args.steps:
-                break
+    for b in fc2_batches():
+        batch = {
+            "x_real": jnp.asarray(b["x_src"]),
+            "x_real2": jnp.asarray(b["x2_src"]),
+            "x_ref": jnp.asarray(b["x_ref"]),
+            "y_org": jnp.asarray(b["y_src"]),
+            "y_trg": jnp.asarray(b["y_ref"]),
+            "mask": jnp.asarray(b["mask"]),
+            "flow": jnp.asarray(b["flow"]),
+        }
+        rng, sub = jax.random.split(rng)
+        state, metrics = trainer.train_iteration(state, batch, sub)
+        i += 1
+        if i % args.log_every == 0:
+            logger.log(i, **{k: float(v) for k, v in metrics.items()})
+            print(f"[{i}/{args.steps}] adv: {float(metrics['G/latent_adv']):.3f}",
+                  flush=True)
+        if i % args.ckpt_every == 0 or i == args.steps:
+            ckpt.save(i, nets=state.params, nets_ema=state.ema)
+        if i % args.sample_every == 0 and args.out_dir:
+            _stargan2_sample_grid(trainer, state, batch, args, i)
+        if i >= args.steps:
+            break
+
+
+def _stargan2_sample_grid(trainer, state, batch, args, step):
+    """Per-interval debug grid from the EMA nets (the reference's
+    debug_image, core/utils.py:122-148) — visual convergence evidence."""
+    import jax.numpy as jnp
+
+    from vst.eval.video import translate_and_reconstruct
+
+    n = min(4, batch["x_real"].shape[0])
+    ema = state.ema
+
+    def generate(x, s):
+        return trainer.G.apply({"params": ema["generator"]}, x, s)
+
+    def style_encode(x, y):
+        return trainer.E.apply({"params": ema["style_enc"]}, x, jnp.asarray(y))
+
+    translate_and_reconstruct(
+        generate, style_encode,
+        batch["x_real"][:n], batch["y_org"][:n],
+        batch["x_ref"][:n], batch["y_trg"][:n],
+        filename=f"{args.out_dir}/sample_{step:06d}.png")
 
 
 def _make_raft(args):
@@ -295,6 +367,127 @@ def cmd_eval_sintel(args):
     print({k: v[f"{k}_mean"] for k, v in results.items()})
 
 
+def _fc2_eval_batches(args, num_dom):
+    """Eval batches for the FC2 metric harness: the materialized corpus'
+    eval split when --data-dir points at a corpus root (DATAFiles +
+    styled-files trio), synthetic stand-ins otherwise."""
+    import os
+
+    from vst.data.fc2 import (DatasetFC2, FC2Loader, synthetic_fc2_batches,
+                              train_eval_split)
+
+    if args.data_dir and os.path.isdir(
+            os.path.join(args.data_dir, "DATAFiles")):
+        ds = DatasetFC2(os.path.join(args.data_dir, "DATAFiles"),
+                        os.path.join(args.data_dir, "styled-files"),
+                        os.path.join(args.data_dir, "styled-files3"),
+                        num_dom=num_dom, base_len=None)
+        _, ev = train_eval_split(len(ds), split=args.split, seed=args.seed)
+        loader = FC2Loader(ds, ev, args.batch_size, seed=args.seed)
+        return list(loader.epoch(shuffle=False))
+    return synthetic_fc2_batches(4, args.batch_size, hw=tuple(args.hw),
+                                 num_dom=num_dom, seed=args.seed)
+
+
+def cmd_eval_fc2(args):
+    """FC2 FID/LPIPS/TCL metric eval — the reference's ``--mode fc2``
+    drivers (``obst_eval.py:735-751``, ``StarGANv2Adv/core/solver.py``
+    calculate_metrics call sites)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vst.core import Checkpointer
+    from vst.eval.fc2 import calculate_metrics
+
+    num_dom = args.num_domains
+    batches = _fc2_eval_batches(args, num_dom)
+    step = 0
+
+    if args.family == "stargan2":
+        from vst.train.stargan2 import StarGAN2Config, StarGAN2Trainer
+
+        cfg = StarGAN2Config(img_size=args.hw[0], num_domains=num_dom,
+                             lambda_tcl=args.lambda_tcl)
+        trainer = StarGAN2Trainer(cfg, seed=args.seed)
+        state = trainer.init_state(args.seed)
+        params = state.ema
+        if args.ckpt_dir:
+            ckpt = Checkpointer(args.ckpt_dir)
+            step = ckpt.latest_step() or 0
+            if step:
+                params = ckpt.restore(step, nets_ema=state.ema)["nets_ema"]
+
+        gen = jax.jit(lambda p, x, s: trainer.G.apply({"params": p}, x, s))
+        map_fn = jax.jit(lambda p, z, y: trainer.F.apply({"params": p}, z, y))
+        enc_fn = jax.jit(lambda p, x, y: trainer.E.apply({"params": p}, x, y))
+
+        def style_fn(x, y, mode, rng):
+            if mode == "latent":
+                z = jax.random.normal(rng, (x.shape[0], cfg.latent_dim))
+                s = map_fn(params["mapping"], z, y)
+            else:  # reference mode: style code from the source pile itself
+                s = enc_fn(params["style_enc"], x, y)
+            return gen(params["generator"], x, s)
+
+    elif args.family == "stargan":
+        from vst.train.stargan import StarGANConfig, StarGANTrainer
+
+        cfg = StarGANConfig(c_dim=num_dom, image_size=args.hw[0])
+        trainer = StarGANTrainer(cfg, seed=args.seed)
+        state = trainer.init_state(args.seed)
+        g_params = state.g_params
+        if args.ckpt_dir:
+            ckpt = Checkpointer(args.ckpt_dir)
+            step = ckpt.latest_step() or 0
+            if step:
+                g_params = ckpt.restore(step, G=state.g_params)["G"]
+        gen = jax.jit(lambda x, c: trainer.G.apply({"params": g_params}, x, c))
+
+        def style_fn(x, y, mode, rng):
+            return gen(x, jax.nn.one_hot(y, num_dom))
+
+    elif args.family == "faststyle":
+        from vst.data.styles import load_style_images
+        from vst.train.registry import select_method
+        from vst.train.faststyle import FastStyleTrainer
+
+        cfg = select_method(args.method, n_styles=max(num_dom - 1, 1),
+                            batch_size=args.batch_size)
+        styles = load_style_images(None, size=256)[:max(num_dom - 1, 1)]
+        trainer = FastStyleTrainer(cfg, styles, seed=args.seed)
+        dummy = {"imgs": jnp.zeros((1, cfg.n_frames) + tuple(args.hw) + (3,)),
+                 "masks": jnp.zeros((1, cfg.n_frames - 1) + tuple(args.hw) + (1,)),
+                 "flows": jnp.zeros((1, cfg.n_frames - 1) + tuple(args.hw) + (2,))}
+        state = trainer.init_state(dummy)
+        params = state.params
+        if args.ckpt_dir:
+            ckpt = Checkpointer(args.ckpt_dir)
+            step = ckpt.latest_step() or 0
+            if step:
+                params = ckpt.restore(step, params=state.params)["params"]
+        net = jax.jit(lambda x, sid: trainer.model.apply(
+            {"params": params}, x, 1.0, sid)[1])
+
+        def style_fn(x, y, mode, rng):
+            # LBST pipeline is [0,1]→[0,255]; harness speaks [−1,1]
+            x01 = (x + 1.0) / 2.0
+            sid = jnp.clip(y[0] - 1, 0, None)
+            out = jnp.clip(net(x01, sid) / 255.0, 0.0, 1.0)
+            return out * 2.0 - 1.0
+
+    else:
+        raise SystemExit(f"unknown family {args.family}")
+
+    results = calculate_metrics(
+        style_fn, batches, num_domains=num_dom, mode=args.mode,
+        num_outs_per_domain=args.num_outs, step=step,
+        out_dir=args.out_dir, rng_seed=args.seed)
+    for name, d in results.items():
+        key = f"{name}_{args.mode}/mean"
+        if key in d:
+            print(f"{name}: {d[key]:.4f}")
+
+
 def cmd_datagen_fc2(args):
     from vst.data.datagen import pack_fc2_npy
 
@@ -326,7 +519,8 @@ def cmd_datagen_corpus(args):
 
     generate_fc2_corpus(args.out_dir, args.n_samples, hw=tuple(args.hw),
                         style_dir=args.style_dir, iters=tuple(args.iters),
-                        batch_size=args.batch_size, seed=args.seed)
+                        batch_size=args.batch_size, seed=args.seed,
+                        styler=args.styler)
     print(f"corpus of {args.n_samples} pairs × domains in {args.out_dir}")
 
 
@@ -354,6 +548,8 @@ def main(argv=None):
                    choices=["cyclegan", "cyclegan_con", "mogan", "congan"])
     p.add_argument("--ngf", type=int, default=64)
     p.add_argument("--ndf", type=int, default=64)
+    p.add_argument("--sid", type=int, default=1,
+                   help="style id — one model per style (fc2_dataset.py)")
     p.add_argument("--raft-iters", type=int, default=20)
     p.add_argument("--raft-ckpt", type=str, default=None)
     p.set_defaults(fn=cmd_train_cyclegan)
@@ -374,6 +570,8 @@ def main(argv=None):
     p.add_argument("--max-conv-dim", type=int, default=512)
     p.add_argument("--lambda-tcl", type=float, default=0.0,
                    help="100 = AdvCon")
+    p.add_argument("--sample-every", type=int, default=1000,
+                   help="debug sample-grid interval (core/utils.py:122-148)")
     p.set_defaults(fn=cmd_train_stargan2)
 
     p = sub.add_parser("eval-sintel")
@@ -386,6 +584,22 @@ def main(argv=None):
     p.add_argument("--raft-ckpt", type=str, default=None)
     p.add_argument("--dt-iters", type=int, default=5)
     p.set_defaults(fn=cmd_eval_sintel)
+
+    p = sub.add_parser("eval-fc2")
+    _add_common(p)
+    p.add_argument("--family", default="stargan2",
+                   choices=["stargan2", "stargan", "faststyle"])
+    p.add_argument("--method", default="johnson",
+                   help="faststyle head (faststyle family only)")
+    p.add_argument("--mode", default="latent",
+                   choices=["latent", "reference"])
+    p.add_argument("--num-domains", type=int, default=4)
+    p.add_argument("--num-outs", type=int, default=3,
+                   help="fakes per eval sample (reference uses 10)")
+    p.add_argument("--lambda-tcl", type=float, default=0.0)
+    p.add_argument("--ckpt-dir", type=str, default=None)
+    p.add_argument("--split", type=float, default=0.97)
+    p.set_defaults(fn=cmd_eval_fc2)
 
     p = sub.add_parser("datagen-fc2")
     _add_common(p)
@@ -404,6 +618,10 @@ def main(argv=None):
     p.add_argument("--n-samples", type=int, default=512)
     p.add_argument("--style-dir", type=str, default=None)
     p.add_argument("--iters", type=int, nargs="+", default=(30, 25, 20))
+    p.add_argument("--styler", default="gatys",
+                   choices=["gatys", "procedural"],
+                   help="'procedural' = deterministic per-domain transforms "
+                        "(for environments without pretrained VGG weights)")
     p.set_defaults(fn=cmd_datagen_corpus)
 
     p = sub.add_parser("demo")

@@ -64,6 +64,7 @@ def generate_styled_dataset(
     items = list(content_images)
 
     def save(path, img01):
+        img01 = np.nan_to_num(img01, nan=0.5)  # LBFGS can NaN single pixels
         imageio.imwrite(path, (np.clip(img01, 0, 1) * 255).astype(np.uint8))
 
     # style0 = the content crops themselves (datagen.py:259-266)
@@ -136,6 +137,41 @@ def precompute_lt_flow(
     return out
 
 
+def procedural_stylize(img: np.ndarray, sid: int) -> np.ndarray:
+    """Deterministic per-domain appearance transforms — the stand-in for the
+    Gatys batch styler when no pretrained VGG weights are available (this
+    environment has no network egress; the reference styles its corpus with
+    ``Models/vgg_conv.pth``, a missing large blob). Each domain is a fixed,
+    visually distinct, locally-computable mapping so the translation task the
+    GAN families train on is well-posed and convergence is verifiable by eye:
+
+    * style1 — warm channel mix + gamma lift;
+    * style2 — cool channel mix + 6-level posterization;
+    * style3 — grayscale, exactly the reference's style-3 postprocess
+      (datagen.py:131-148).
+
+    Being pixelwise-deterministic, the same transform applied to both frames
+    of a pair preserves the analytic flow/mask, so temporal losses stay
+    exact. img: (H, W, 3) float [0, 1].
+    """
+    if sid == 0:
+        return img
+    if sid == 3:
+        return to_grayscale3(img)
+    if sid == 1:
+        m = np.array([[0.85, 0.25, 0.05], [0.10, 0.75, 0.10], [0.05, 0.15, 0.55]],
+                     np.float32)
+        out = np.einsum("...c,cd->...d", img, m.T)
+        return np.clip(out ** 0.8, 0.0, 1.0)
+    if sid == 2:
+        m = np.array([[0.55, 0.15, 0.05], [0.10, 0.75, 0.25], [0.05, 0.25, 0.85]],
+                     np.float32)
+        out = np.clip(np.einsum("...c,cd->...d", img, m.T), 0.0, 1.0)
+        return np.round(out * 5.0) / 5.0
+    # further domains: rotate through the style-1/2 mixes with extra gamma
+    return np.clip(procedural_stylize(img, 1 + sid % 2) ** 1.1, 0.0, 1.0)
+
+
 def generate_fc2_corpus(
     out_root: str,
     n_samples: int,
@@ -146,6 +182,7 @@ def generate_fc2_corpus(
     seed: int = 0,
     grayscale_styles: Sequence[int] = (3,),
     skip_existing: bool = True,
+    styler: str = "gatys",
 ):
     """Materialize the COMPLETE pseudo-paired FC2 corpus layout consumed by
     DatasetFC2 / CycleGANFC2Dataset (the reference's ``styled-files/`` +
@@ -177,6 +214,7 @@ def generate_fc2_corpus(
         os.makedirs(os.path.join(tdir, f"style{k}"), exist_ok=True)
 
     def save(path, img01):
+        img01 = np.nan_to_num(img01, nan=0.5)  # LBFGS can NaN single pixels
         imageio.imwrite(path, (np.clip(img01, 0, 1) * 255).astype(np.uint8))
 
     # -- content frames + analytic flow/mask --------------------------------
@@ -202,6 +240,22 @@ def generate_fc2_corpus(
             save(p1, frames[0])
         if not (skip_existing and os.path.exists(p2)):
             save(p2, frames[1])
+
+    # -- procedural domains (no-VGG-weights fallback) -----------------------
+    if styler == "procedural":
+        for sid in range(1, n_styles + 1):
+            n_done = 0
+            for name, f1, f2 in zip(names, f1s, f2s):
+                p1 = os.path.join(sdir, f"style{sid}", name + ".jpg")
+                p2 = os.path.join(tdir, f"style{sid}", name + "_2.jpg")
+                if not (skip_existing and os.path.exists(p1)):
+                    save(p1, procedural_stylize(f1, sid))
+                    n_done += 1
+                if not (skip_existing and os.path.exists(p2)):
+                    save(p2, procedural_stylize(f2, sid))
+            print(f"corpus: style{sid} done procedurally ({n_done} images)",
+                  flush=True)
+        return
 
     # -- Gatys-styled domains (both frames, batched LBFGS) ------------------
     pyr = ((hw[0] // 4, hw[1] // 4), (hw[0] // 2, hw[1] // 2), tuple(hw))

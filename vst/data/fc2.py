@@ -188,11 +188,15 @@ class CycleGANFC2Dataset:
     simg1/simg2 are the same files from ``style{sid}``; seed-1234 shuffle.
     Images returned in [−1,1]."""
 
-    def __init__(self, dset_dir: str, sid: int = 1):
+    def __init__(self, dset_dir: str, sid: int = 1,
+                 with_flow: bool = False):
         self.data_dir1 = os.path.join(dset_dir, "styled-files", "style0")
         self.data_dir2 = os.path.join(dset_dir, "styled-files3", "style0")
         self.style_dir1 = os.path.join(dset_dir, "styled-files", f"style{sid}")
         self.style_dir2 = os.path.join(dset_dir, "styled-files3", f"style{sid}")
+        # +Con/MoGAN/ConGAN variants also need the GT mask/flow npy
+        # (CycleGANCon/fc2_dataset.py:32-46)
+        self.npy_dir = os.path.join(dset_dir, "DATAFiles") if with_flow else None
 
         names = sorted(os.listdir(self.data_dir1))
         assert len(names) == len(os.listdir(self.data_dir2))
@@ -213,12 +217,18 @@ class CycleGANFC2Dataset:
             return imageio.imread(path).astype(np.float32) / 255.0 * 2 - 1
 
         n1, n2 = self.dataset[index]
-        return {
+        out = {
             "real_A": load(os.path.join(self.data_dir1, n1)),
             "real_A2": load(os.path.join(self.data_dir2, n2)),
             "real_B": load(os.path.join(self.style_dir1, n1)),
             "real_B2": load(os.path.join(self.style_dir2, n2)),
         }
+        if self.npy_dir:
+            stem = os.path.splitext(n1)[0]
+            np_data = np.load(os.path.join(self.npy_dir, stem + ".npy"))[0]
+            out["mask"] = np_data[:, :, 6:7].astype(np.float32)
+            out["flow"] = np_data[:, :, 7:9].astype(np.float32)
+        return out
 
     def epoch(self, batch_size: int, shuffle: bool = True, seed: int = 0):
         order = np.arange(len(self.dataset))

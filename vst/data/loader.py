@@ -183,3 +183,84 @@ def pack_tuple_npy(out_dir: str, n_samples: int, hw=(64, 64),
         np.save(os.path.join(out_dir, f"{i:07d}.npy"),
                 np.asarray([frames, flows, masks], dtype=object),
                 allow_pickle=True)
+
+
+class ChairsSDHomDataset:
+    """ChairsSDHom-format directory of per-sample ``.npy`` files.
+
+    Parity with ``methods/learning-based/datasets.py:239-269``: each file is
+    a (384, 512, 9) array packed channelwise as img1(3) ⊕ img2(3) ⊕ flow(2)
+    ⊕ mask(1) — note flow BEFORE mask, the opposite of the FC2 packing —
+    and is center-cropped from the native 384×512 down to ``crop_hw``
+    (256×256 in the reference). Emits the standard vst dict layout:
+    imgs (B, 2, h, w, 3), masks (B, 1, h, w, 1), flows (B, 1, h, w, 2).
+    """
+
+    def __init__(self, data_dir: str, batch_size: int, seed: int = 0,
+                 crop_hw=(256, 256), expected_size: Optional[int] = None):
+        import os
+        import numpy as np
+
+        self.data_dir = data_dir
+        self.files = sorted(os.listdir(data_dir))
+        if expected_size is not None:
+            assert len(self.files) == expected_size, (
+                f"dataset size {len(self.files)} != expected {expected_size}"
+            )
+        self.batch_size = batch_size
+        self.crop_hw = tuple(crop_hw)
+        self.length = (len(self.files) // batch_size) * batch_size
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return self.length // self.batch_size
+
+    def _crop(self, x):
+        h, w = self.crop_hw[0] // 2, self.crop_hw[1] // 2
+        ih, iw = x.shape[0] // 2, x.shape[1] // 2
+        return x[ih - h: ih + h, iw - w: iw + w]
+
+    def epoch(self, shuffle: bool = True):
+        import os
+        import numpy as np
+
+        order = np.arange(self.length)
+        if shuffle:
+            self._rng.shuffle(order)
+        bs = self.batch_size
+        for i in range(0, self.length, bs):
+            rows = []
+            for j in order[i: i + bs]:
+                x = np.load(os.path.join(self.data_dir, self.files[j]),
+                            allow_pickle=True)
+                rows.append(self._crop(np.asarray(x, dtype=np.float32)))
+            x = np.stack(rows)  # (bs, h, w, 9)
+            yield {
+                "imgs": np.stack([x[..., 0:3], x[..., 3:6]], axis=1),
+                "masks": x[..., 8:9][:, None],
+                "flows": x[..., 6:8][:, None],
+            }
+
+
+class CombinedDataset:
+    """Concatenation of several epoch-iterable datasets.
+
+    Parity with ``methods/learning-based/datasets.py:217-237``
+    (``CombinedDataset`` = FC2 + CO2 + HW2 back to back): iterates each
+    member's epoch in order; len is the sum of member batch counts. Members
+    just need ``__len__`` and ``epoch(shuffle)`` with a shared batch dict
+    layout (NpyDirDataset / TupleNpyDataset / ChairsSDHomDataset all
+    qualify — the reference indexes across member boundaries, which at
+    batch granularity is exactly sequential iteration).
+    """
+
+    def __init__(self, *datasets):
+        assert datasets, "CombinedDataset needs at least one member"
+        self.datasets = datasets
+
+    def __len__(self):
+        return sum(len(d) for d in self.datasets)
+
+    def epoch(self, shuffle: bool = True):
+        for d in self.datasets:
+            yield from d.epoch(shuffle)

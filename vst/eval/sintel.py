@@ -24,6 +24,7 @@ the per-frame loop; DT uses chained timing (dispatch-async-safe).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 from typing import Callable, Dict, List, Optional, Sequence
@@ -155,40 +156,19 @@ def evaluate_videos(
     # once per (video, style) — arrays make it ONE compilation total
     styles = [jax.tree_util.tree_map(jnp.asarray, s) for s in styles]
 
-    for video in videos:
-        frames = jnp.asarray(ft(video.frames))
-        n = len(video)
-        for d, style in enumerate(styles):
-            key = f"{video.name}_s{d + 1}"
-            st_vals, lt_vals = [], []
+    from vst.core.trace import profile_trace
 
-            # DT: chained timing on the stylize program alone (the reference
-            # times only the generator call, sintel_eval.py:210-214)
-            x = frames[0:1]
-            _ = stylize_prog(x, style)
-            float(jnp.sum(_))
-            t0 = time.perf_counter()
-            for _i in range(dt_iters):
-                x = stylize_prog(x, style)
-            float(jnp.sum(x))
-            dt_ms = (time.perf_counter() - t0) / dt_iters * 1000.0
-
-            for i in range(n):
-                img = frames[i:i + 1]
-                if i > 0:
-                    _, v = tcl_prog(img, frames[i - 1:i], style)
-                    st_vals.append(float(v))
-                if i >= lt_len:
-                    _, v = tcl_prog(img, frames[i - lt_len:i - lt_len + 1], style)
-                    lt_vals.append(float(v))
-                if save_frames and out_path:
-                    x_fake = np.asarray(stylize_prog(img, style))[0]
-                    _save_frame(x_fake, os.path.join(out_path, key, f"frame_{i:04d}.png"))
-
-            tcl_st[f"TCL-ST_{key}"] = float(np.mean(st_vals)) if st_vals else 0.0
-            tcl_lt[f"TCL-LT_{key}"] = float(np.mean(lt_vals)) if lt_vals else 0.0
-            dt[f"DT_{key}"] = dt_ms
-
+    with contextlib.ExitStack() as _stack:
+        _stack.enter_context(profile_trace())  # VST_PROFILE_DIR gated
+        for video in videos:
+            frames = jnp.asarray(ft(video.frames))
+            n = len(video)
+            for d, style in enumerate(styles):
+                results_for = _eval_one(
+                    video, frames, n, d, style, stylize_prog, tcl_prog,
+                    lt_len, dt_iters, save_frames, out_path)
+                key = f"{video.name}_s{d + 1}"
+                tcl_st[f"TCL-ST_{key}"], tcl_lt[f"TCL-LT_{key}"], dt[f"DT_{key}"] = results_for
     nd = (num_domains or len(styles) + 1) - 1
     results = {}
     for out_id, data in (("TCL-ST", tcl_st), ("TCL-LT", tcl_lt), ("DT", dt)):
@@ -204,6 +184,46 @@ def evaluate_videos(
         if out_path:
             save_json(agg, os.path.join(out_path, out_id + ".json"), aggregate=False)
     return results
+
+
+def _eval_one(video, frames, n, d, style, stylize_prog, tcl_prog,
+              lt_len, dt_iters, save_frames, out_path):
+    """One (video, style) pass: DT chained timing + per-frame ST/LT TCL.
+    Phases carry profiler annotations (vst.core.trace) so a
+    VST_PROFILE_DIR trace shows DT vs TCL device time separately."""
+    from vst.core.trace import annotate
+
+    key = f"{video.name}_s{d + 1}"
+    st_vals, lt_vals = [], []
+
+    # DT: chained timing on the stylize program alone (the reference
+    # times only the generator call, sintel_eval.py:210-214)
+    with annotate(f"DT/{key}"):
+        x = frames[0:1]
+        _ = stylize_prog(x, style)
+        float(jnp.sum(_))
+        t0 = time.perf_counter()
+        for _i in range(dt_iters):
+            x = stylize_prog(x, style)
+        float(jnp.sum(x))
+        dt_ms = (time.perf_counter() - t0) / dt_iters * 1000.0
+
+    with annotate(f"TCL/{key}"):
+        for i in range(n):
+            img = frames[i:i + 1]
+            if i > 0:
+                _, v = tcl_prog(img, frames[i - 1:i], style)
+                st_vals.append(float(v))
+            if i >= lt_len:
+                _, v = tcl_prog(img, frames[i - lt_len:i - lt_len + 1], style)
+                lt_vals.append(float(v))
+            if save_frames and out_path:
+                x_fake = np.asarray(stylize_prog(img, style))[0]
+                _save_frame(x_fake, os.path.join(out_path, key, f"frame_{i:04d}.png"))
+
+    st = float(np.mean(st_vals)) if st_vals else 0.0
+    lt = float(np.mean(lt_vals)) if lt_vals else 0.0
+    return st, lt, dt_ms
 
 
 def _save_frame(x: np.ndarray, path: str) -> None:

@@ -17,7 +17,7 @@ from vst.ops.image import (
     avg_pool2d,
     InputPadder,
 )
-from vst.ops.flowtools import gradient, fbc_mask
+from vst.ops.flowtools import gradient, fbc_mask, forward_interpolate
 from vst.ops.losses import gram_matrix, tv_loss, normalize_imagenet
 
 __all__ = [
@@ -33,6 +33,7 @@ __all__ = [
     "InputPadder",
     "gradient",
     "fbc_mask",
+    "forward_interpolate",
     "gram_matrix",
     "tv_loss",
     "normalize_imagenet",

@@ -62,3 +62,41 @@ def fbc_mask(
         mask = jnp.where(occ, 0.0, mask)
     mask = jnp.where(mob, 0.0, mask)
     return mask[..., None]
+
+
+def forward_interpolate(flow):
+    """Forward-splat a flow field and re-interpolate onto the regular grid.
+
+    Host-side parity with ``utils/raft/raft/utils/utils.py:26-54``
+    (``forward_interpolate``) — the RAFT warm-start op: each source pixel is
+    moved by its own flow vector, and the scattered (dx, dy) samples are
+    nearest-neighbour interpolated (SciPy ``griddata``) back onto the
+    regular grid. Points landing outside the open interval (0, W)×(0, H)
+    are dropped, matching the reference's validity test.
+
+    flow: (H, W, 2) numpy array, channel-last (u, v) — the vst layout
+    (the reference takes (2, H, W)). Returns (H, W, 2) float32 numpy.
+    This is an eval/warm-start host op, not a jit op (data-dependent
+    scatter; the reference also runs it on host via SciPy).
+    """
+    import numpy as np
+    from scipy import interpolate
+
+    flow = np.asarray(flow, dtype=np.float32)
+    dx, dy = flow[..., 0], flow[..., 1]
+    ht, wd = dx.shape
+    x0, y0 = np.meshgrid(np.arange(wd), np.arange(ht))
+
+    x1 = (x0 + dx).reshape(-1)
+    y1 = (y0 + dy).reshape(-1)
+    dxf = dx.reshape(-1)
+    dyf = dy.reshape(-1)
+
+    valid = (x1 > 0) & (x1 < wd) & (y1 > 0) & (y1 < ht)
+    x1, y1, dxf, dyf = x1[valid], y1[valid], dxf[valid], dyf[valid]
+
+    flow_x = interpolate.griddata(
+        (x1, y1), dxf, (x0, y0), method="nearest", fill_value=0)
+    flow_y = interpolate.griddata(
+        (x1, y1), dyf, (x0, y0), method="nearest", fill_value=0)
+    return np.stack([flow_x, flow_y], axis=-1).astype(np.float32)

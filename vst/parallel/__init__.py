@@ -1,6 +1,7 @@
 """vst.parallel — mesh construction and sharding helpers."""
 
 from vst.parallel.mesh import (
+    initialize_distributed,
     create_mesh,
     batch_sharding,
     replicated_sharding,
@@ -9,6 +10,7 @@ from vst.parallel.mesh import (
 )
 
 __all__ = [
+    "initialize_distributed",
     "create_mesh",
     "batch_sharding",
     "replicated_sharding",

@@ -18,6 +18,42 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host entry point (SURVEY §2.7 "TPU-native plan": jax.distributed
+    + ICI collectives intra-pod, DCN for multi-host input).
+
+    Single-process default is a no-op returning process count 1 — mesh
+    creation works unchanged on one host. On a multi-host pod slice, call
+    this once per process before any jax API, either with explicit
+    coordinator/process arguments or with none at all (TPU pods
+    auto-discover via the metadata server)::
+
+        from vst.parallel import initialize_distributed, create_mesh
+        initialize_distributed()              # all hosts, auto-discovery
+        mesh = create_mesh()                  # global mesh over every chip
+
+    After initialization ``jax.devices()`` spans all hosts, so
+    ``create_mesh`` builds a global mesh and GSPMD inserts cross-host
+    collectives over DCN/ICI automatically; per-host input pipelines should
+    feed ``jax.make_array_from_process_local_data`` with the mesh's
+    batch sharding.
+    """
+    explicit = coordinator_address is not None or num_processes is not None
+    if not explicit and jax.process_count() == 1:
+        # single-host (or already initialized): nothing to do
+        return jax.process_count()
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count()
+
+
 def create_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
