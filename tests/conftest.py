@@ -22,3 +22,14 @@ def pytest_configure(config):
         "tests must run on the virtual CPU mesh, got " + str(jax.devices())
     )
     assert jax.device_count() == 8
+
+
+def pytest_collection_modifyitems(config, items):
+    """Everything not explicitly @pytest.mark.slow belongs to the quick tier,
+    so `pytest -m quick` is a <3-min smoke pass over every module while the
+    full suite keeps CI depth (VERDICT r1 item 9)."""
+    import pytest
+
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)

@@ -32,6 +32,7 @@ def test_pack_and_load_fc2_npy(tmp_path):
     assert b["flows"].shape == (2, 1, 32, 32, 2)
 
 
+@pytest.mark.slow
 def test_generate_styled_dataset(tmp_path):
     from vst.models.gatys import OBST
     from vst.data.styles import load_style_images
@@ -171,6 +172,7 @@ def test_native_loader_fallback_on_unsupported(tmp_path):
     np.testing.assert_allclose(got[0], a.astype(np.float32), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_experiments_harness():
     from vst.train.experiments import train_net, infer_test
     from vst.data.synthetic import synthetic_batch

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 
 from vst.data.synthetic import AffineMotionGenerator, _texture
 from vst.eval.sintel import SintelVideo
+import pytest
 
 
 def _video(n=7, hw=(32, 32), seed=0):
@@ -20,6 +21,7 @@ def _stub_raft(i1, i2):
     return None, jnp.concatenate([d, -d], axis=-1)
 
 
+@pytest.mark.slow
 def test_evaluate_sintel_stargan2():
     from vst.train.stargan2 import StarGAN2Config, StarGAN2Trainer
     from vst.eval.drivers import evaluate_sintel_stargan2
@@ -37,6 +39,7 @@ def test_evaluate_sintel_stargan2():
         assert np.isfinite(v)
 
 
+@pytest.mark.slow
 def test_evaluate_sintel_stargan():
     from vst.train.stargan import StarGANConfig, StarGANTrainer
     from vst.models.stargan import Discriminator

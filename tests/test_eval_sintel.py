@@ -23,6 +23,7 @@ def _synthetic_video(n_frames=7, hw=(64, 96), seed=0):
     return frames, flows, masks
 
 
+@pytest.mark.slow
 def test_evaluate_videos_with_real_raft_shapes():
     frames, _, _ = _synthetic_video()
     video = SintelVideo("toy", frames)

@@ -11,6 +11,7 @@ from vst.data.fc2 import synthetic_fc2_batches, train_eval_split, FC2Fetcher
 from vst.eval.fc2 import calculate_metrics
 from vst.metrics.fid import InceptionV3
 from vst.metrics.lpips import LPIPS
+import pytest
 
 
 def test_train_eval_split():
@@ -28,6 +29,7 @@ def test_synthetic_fc2_batch_keys():
     assert b["x_src"].min() >= -1 and b["x_src"].max() <= 1
 
 
+@pytest.mark.slow
 def test_calculate_metrics_end_to_end(tmp_path):
     batches = synthetic_fc2_batches(2, 4, hw=(96, 96), num_dom=3, seed=1)
 

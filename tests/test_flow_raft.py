@@ -1,5 +1,6 @@
 """RAFT component parity + full-model wiring tests."""
 
+import pytest
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -84,6 +85,7 @@ def test_sepconv_gru_matches_torch():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_raft_full_forward_shapes():
     raft = RAFT(small=False, iters=3)
     img1 = jnp.asarray(np.random.RandomState(3).rand(1, 64, 96, 3).astype(np.float32) * 255)
@@ -97,6 +99,7 @@ def test_raft_full_forward_shapes():
     assert abs(n - 5_257_536) < 50_000, n  # real RAFT ≈ 5.26M params
 
 
+@pytest.mark.slow
 def test_raft_warm_start_changes_result():
     """flow_init warm start (raft.py:118-119) must influence the output."""
     raft = RAFT(small=False, iters=2)
@@ -110,6 +113,7 @@ def test_raft_warm_start_changes_result():
     assert not np.allclose(np.asarray(up0), np.asarray(up1), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_torch_state_dict_conversion_structure():
     """Round-trip: fabricate a torch-layout state dict from our param tree's
     shapes, convert, and verify flax.apply accepts it (strict structure +
@@ -170,3 +174,26 @@ def test_torch_state_dict_conversion_structure():
     _, up_orig = raft.apply({"params": params}, img1, img2)
     _, up_conv = raft.apply({"params": converted}, img1, img2)
     np.testing.assert_allclose(np.asarray(up_orig), np.asarray(up_conv), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_raft_bf16_encoders_close_to_f32():
+    """encoder_dtype=bf16 shares the SAME param tree and stays close to the
+    f32 flow (the production eval path runs bf16 encoders on TPU)."""
+    rng = np.random.RandomState(3)
+    img1 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32) * 255)
+    img2 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32) * 255)
+
+    r32 = RAFT(small=True, iters=4)
+    r16 = RAFT(small=True, iters=4, encoder_dtype=jnp.bfloat16)
+    params = r32.init(jax.random.PRNGKey(0), img1, img2)
+    # identical tree: bf16 is a compute policy, not a different model
+    jax.tree.map(lambda a, b: None, params,
+                 r16.init(jax.random.PRNGKey(0), img1, img2))
+
+    _, f32 = r32.apply(params, img1, img2)
+    _, f16 = r16.apply(params, img1, img2)
+    assert f16.dtype == jnp.float32  # bf16 never leaks out of the encoders
+    denom = np.abs(np.asarray(f32)).mean() + 1e-6
+    rel = np.abs(np.asarray(f32) - np.asarray(f16)).mean() / denom
+    assert rel < 0.15, rel

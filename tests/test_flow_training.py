@@ -7,8 +7,10 @@ import jax.numpy as jnp
 from vst.flow.raft import RAFT
 from vst.flow.datasets import FlowAugmentor, flow_sequence_loss
 from vst.flow.viz import flow_to_image
+import pytest
 
 
+@pytest.mark.slow
 def test_raft_train_mode_and_sequence_loss_grads():
     raft = RAFT(small=False, iters=3, train_mode=True)
     rng = np.random.RandomState(0)

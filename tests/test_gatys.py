@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from vst.models.gatys import OBST
 from vst.perceptual.vgg import obst_prep, obst_postp
 from vst.data.styles import load_style_images
+import pytest
 
 PYR = ((16, 16), (32, 32), (48, 48))
 
@@ -17,6 +18,7 @@ def _content(hw, seed=0):
     return rng.rand(hw[0], hw[1], 3).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_lbfgs_level_reduces_loss():
     obst = OBST(max_iters=(10, 5, 5), seed=0)
     style = load_style_images(size=64)[0]
@@ -36,6 +38,7 @@ def test_lbfgs_level_reduces_loss():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_full_pyramid_run():
     obst = OBST(max_iters=(5, 4, 3), seed=0)
     style = load_style_images(size=64)[1]
@@ -54,6 +57,7 @@ def test_full_pyramid_run():
     assert float(rgb.min()) >= 0.0 and float(rgb.max()) <= 1.0
 
 
+@pytest.mark.slow
 def test_tcl_term_pulls_toward_warp_target():
     """With a huge TCL weight the result must approach the warp target in
     masked regions."""

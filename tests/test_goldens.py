@@ -9,6 +9,7 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "tiny_eval.json")
 
@@ -47,6 +48,7 @@ def _run_tiny_eval():
     }
 
 
+@pytest.mark.slow
 def test_tiny_eval_matches_golden():
     got = _run_tiny_eval()
     if not os.path.exists(GOLDEN):

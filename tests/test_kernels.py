@@ -46,6 +46,7 @@ def test_s2d_conv_gradients_flow():
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_conv9_interpret_exact():
     """The fused Pallas conv (interpret mode — Mosaic lowering is WIP, see
     module docstring) must match lax.conv exactly."""
@@ -61,6 +62,7 @@ def test_pallas_conv9_interpret_exact():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_corr_lookup_matches_xla():
     """The Pallas window-sampling kernel vs the exact XLA gather path
     (tolerance covers the kernel's bf16 interpolation multiplies on TPU;
@@ -79,6 +81,7 @@ def test_pallas_corr_lookup_matches_xla():
                                rtol=5e-3, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_raft_pallas_lookup_flow_close():
     """Full RAFT with the Pallas lookup must produce flow close to the
     exact path (same weights)."""

@@ -56,6 +56,23 @@ def test_s2d_conv_general_matches_natural(k, a, stride, t_pad, ci, co, pad_mode)
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("k,a,stride,t_pad,ci,co,pad_mode", CASES)
+def test_s2d_conv_phase_matches_natural(k, a, stride, t_pad, ci, co, pad_mode):
+    from vst.kernels.layout import s2d_conv_phase
+
+    rng = np.random.RandomState(k * a + stride + 7)
+    H, W = 32, 48
+    x = jnp.asarray(rng.randn(2, H, W, ci).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, k, ci, co).astype(np.float32) * 0.1)
+
+    ref = _conv_ref(x, w, stride, t_pad, pad_mode)
+    b = a // stride
+    got_s = s2d_conv_phase(s2d(x, a), w, a, stride, t_pad, pad_mode)
+    got = d2s(got_s, b, co)[:, :ref.shape[1], :ref.shape[2], :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_instance_norm_s2d_matches_natural():
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
@@ -90,6 +107,7 @@ def test_reflect_pad_s2d_values():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_styles,sid,ss", [(1, 0, 1.0), (3, 2, 0.7)])
 def test_fast_stylize_equivalent_to_reference_forward(n_styles, sid, ss):
     """The layout-propagated forward must reproduce FastStyleNet.apply on
@@ -106,3 +124,33 @@ def test_fast_stylize_equivalent_to_reference_forward(n_styles, sid, ss):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(f_fast), np.asarray(f_ref),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_up2_conv_subpixel_exact():
+    """Folding must reproduce reflect_pad∘conv∘nearest_up2 bit-for-bit
+    (same dtype, same conv op) including edges."""
+    from vst.kernels.layout import up2_conv_subpixel
+    from vst.ops.image import reflect_pad, resize_nearest
+
+    rng = np.random.RandomState(0)
+    for ci, co, h, w in [(8, 4, 5, 7), (3, 8, 16, 12)]:
+        x = jnp.asarray(rng.randn(2, h, w, ci).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, ci, co).astype(np.float32) * 0.1)
+        up = reflect_pad(resize_nearest(x, 2), 1)
+        ref = jax.lax.conv_general_dilated(
+            up, k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = up2_conv_subpixel(x, k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_up2_conv_subpixel4_exact():
+    from vst.kernels.layout import up2_conv_subpixel, up2_conv_subpixel4
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 6, 9, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 8, 4).astype(np.float32) * 0.1)
+    np.testing.assert_allclose(np.asarray(up2_conv_subpixel4(x, k)),
+                               np.asarray(up2_conv_subpixel(x, k)),
+                               rtol=1e-5, atol=1e-5)

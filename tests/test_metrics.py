@@ -1,5 +1,6 @@
 """FID / LPIPS / inception tests."""
 
+import pytest
 import numpy as np
 import torch
 import jax
@@ -23,6 +24,7 @@ def test_frechet_distance_identity_zero():
     np.testing.assert_allclose(fid_from_activations(a, b), 16 * 9.0, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_inception_trunk_shapes():
     net = InceptionV3Trunk()
     x = jnp.zeros((1, 96, 96, 3))
@@ -61,6 +63,7 @@ def test_inception_converter_roundtrip():
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fid_from_image_batches_runs():
     inc = InceptionV3(seed=0)
     rng = np.random.RandomState(2)

@@ -168,6 +168,7 @@ def test_caffe_vgg_forward_parity():
 # FastStyleNet
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_styles,style_id", [(1, 0), (3, 2)])
 def test_faststyle_forward_parity(n_styles, style_id):
     network = _import_ref("network", "methods/learning-based")
@@ -206,6 +207,7 @@ def test_faststyle_forward_parity(n_styles, style_id):
 # RAFT
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_raft_forward_parity():
     raft_mod = _import_ref_file(
         "ref_raft_core", "utils/raft/raft/raft.py", "utils/raft/raft"
@@ -251,6 +253,7 @@ def sg2_model():
     return _import_ref("core.model", "methods/GAN-based/StarGANv2Adv")
 
 
+@pytest.mark.slow
 def test_sg2_generator_parity(sg2_model):
     tnet = _seed_torch_params(
         sg2_model.Generator(img_size=64, style_dim=64, w_hpf=0), seed=40
@@ -298,6 +301,7 @@ def test_sg2_mapping_parity(sg2_model):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sg2_style_encoder_parity(sg2_model):
     tnet = _seed_torch_params(
         sg2_model.StyleEncoder(img_size=64, style_dim=64, num_domains=4),

@@ -1,5 +1,6 @@
 """StarGAN v1/v2 model + solver tests (tiny configs)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,7 @@ def test_stargan1_classification_loss_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_stargan1_training_steps():
     cfg = StarGANConfig(c_dim=3, image_size=32, conv_dim=8, repeat_num=6,
                         n_critic=2)
@@ -82,6 +84,7 @@ def test_stargan_lr_schedule():
     assert float(sched(1999)) >= 0.0
 
 
+@pytest.mark.slow
 def test_resblk_unit_variance_scaling():
     blk = ResBlk(dim_out=8, normalize=True, downsample=True)
     x = jnp.asarray(np.random.RandomState(1).randn(2, 16, 16, 4).astype(np.float32))
@@ -90,6 +93,7 @@ def test_resblk_unit_variance_scaling():
     assert y.shape == (2, 8, 8, 8)
 
 
+@pytest.mark.slow
 def test_stargan2_nets_shapes():
     cfg = dict(img_size=32, style_dim=8, num_domains=3)
     g = G2(img_size=32, style_dim=8, max_conv_dim=32)
@@ -110,6 +114,7 @@ def test_stargan2_nets_shapes():
     assert logit.shape == (2,)
 
 
+@pytest.mark.slow
 def test_stargan2_full_iteration_and_ema():
     cfg = StarGAN2Config(img_size=32, style_dim=8, latent_dim=4, num_domains=3,
                          max_conv_dim=32, lambda_tcl=0.0)
@@ -134,6 +139,7 @@ def test_stargan2_full_iteration_and_ema():
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_stargan2_advcon_tcl():
     cfg = StarGAN2Config(img_size=32, style_dim=8, latent_dim=4, num_domains=3,
                          max_conv_dim=32, lambda_tcl=100.0)
@@ -163,3 +169,57 @@ def test_adv_loss_matches_torch_bce():
         torch.from_numpy(logits), torch.ones(3, 5)
     ).item()
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def _fixed_batch32(num_dom=3):
+    rng = np.random.RandomState(0)
+    return {
+        "x_real": jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1),
+        "x_ref": jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1),
+        "y_org": jnp.asarray([0, 1]),
+        "y_trg": jnp.asarray([2, 0]),
+    }
+
+
+
+
+@pytest.mark.slow
+def test_stargan1_reconstruction_descends():
+    """30 fixed-batch alternating steps: the cycle-reconstruction loss (the
+    supervised term of solver.py:241-412's objective) must decrease."""
+    cfg = StarGANConfig(c_dim=3, image_size=32, conv_dim=8, repeat_num=6,
+                        n_critic=1)
+    tr = StarGANTrainer(cfg)
+    from vst.models.stargan import Discriminator
+
+    tr.D = Discriminator(image_size=32, conv_dim=8, c_dim=3, repeat_num=4)
+    state = tr.init_state()
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+    c_org = jax.nn.one_hot(jnp.asarray([0, 1]), 3)
+    c_trg = jax.nn.one_hot(jnp.asarray([2, 0]), 3)
+    d, g = tr.d_step(), tr.g_step()
+    rec = []
+    for i in range(30):
+        state, _ = d(state, x, c_org, c_trg, jax.random.PRNGKey(i))
+        state, gm = g(state, x, c_org, c_trg)
+        rec.append(float(gm["G/loss_rec"]))
+    assert np.isfinite(rec).all()
+    assert np.mean(rec[-5:]) < np.mean(rec[:5]), (rec[:5], rec[-5:])
+
+
+@pytest.mark.slow
+def test_stargan2_style_and_cycle_descend():
+    """30 fixed-batch iterations of the full v2 solver: style-reconstruction
+    + cycle (the supervised terms, core/solver.py:404-449) must decrease."""
+    cfg = StarGAN2Config(img_size=32, style_dim=8, latent_dim=4, num_domains=3,
+                         max_conv_dim=32, lambda_tcl=0.0)
+    tr = StarGAN2Trainer(cfg)
+    state = tr.init_state()
+    batch = _fixed_batch32()
+    rec = []
+    for i in range(30):
+        state, m = tr.train_iteration(state, batch, jax.random.PRNGKey(i))
+        rec.append(float(m["G/latent_sty"]) + float(m["G/latent_cyc"]))
+    assert np.isfinite(rec).all()
+    assert np.mean(rec[-5:]) < np.mean(rec[:5]), (rec[:5], rec[-5:])

@@ -31,6 +31,7 @@ METHODS = [
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("method,emphasis,n_frames", METHODS)
 def test_train_step_runs_and_improves(method, emphasis, n_frames):
     trainer = _trainer(method, emphasis, n_frames=n_frames)
@@ -66,6 +67,7 @@ def test_lr_schedule_matches_reference():
         np.testing.assert_allclose(float(sched(itr)), lr_ref, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_single_device():
     trainer = _trainer("johnson", (1e0, 1e1, 1e-4))
     batch = synthetic_batch(8, hw=HW, n_frames=2, seed=2)
@@ -100,6 +102,7 @@ def test_data_parallel_step_matches_single_device():
         assert np.abs(a - b).max() <= 2 * lr + 1e-6
 
 
+@pytest.mark.slow
 def test_multistyle_training():
     trainer = _trainer("dumoulin", (1e0, 1e1), n_styles=3)
     batch = synthetic_batch(4, hw=HW, n_frames=2, seed=3)

@@ -5,8 +5,10 @@ import jax
 import jax.numpy as jnp
 
 from vst.models.wing import FAN, get_heatmap, preprocess_heatmaps
+import pytest
 
 
+@pytest.mark.slow
 def test_fan_forward_shapes():
     fan = FAN()
     x = jnp.zeros((1, 256, 256, 3))
@@ -16,6 +18,7 @@ def test_fan_forward_shapes():
     assert boundary.shape == (1, 64, 64, 2)
 
 
+@pytest.mark.slow
 def test_get_heatmap_masks():
     fan = FAN()
     x = jnp.asarray(
@@ -37,6 +40,7 @@ def test_preprocess_pipeline_bounds():
     assert float(m2.sum()) <= float(m1.sum())
 
 
+@pytest.mark.slow
 def test_stargan2_generator_with_hpf_masks():
     """w_hpf > 0 path: encoder caches + HighPass-masked skip connections
     (model.py:168-183) — wired with FAN-style masks."""

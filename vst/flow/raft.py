@@ -71,16 +71,20 @@ class ResidualBlock(nn.Module):
     planes: int
     norm_fn: str = "group"
     stride: int = 1
+    dtype: Optional[Any] = None  # conv compute dtype; norms accumulate f32
 
     @nn.compact
     def __call__(self, x):
         ng = self.planes // 8
-        y = TorchConv(self.planes, 3, stride=self.stride, padding=1, name="conv1")(x)
+        y = TorchConv(self.planes, 3, stride=self.stride, padding=1,
+                      dtype=self.dtype, name="conv1")(x)
         y = nn.relu(_Norm(self.norm_fn, ng, name="norm1")(y))
-        y = TorchConv(self.planes, 3, padding=1, name="conv2")(y)
+        y = TorchConv(self.planes, 3, padding=1, dtype=self.dtype,
+                      name="conv2")(y)
         y = nn.relu(_Norm(self.norm_fn, ng, name="norm2")(y))
         if self.stride != 1:
-            x = TorchConv(self.planes, 1, stride=self.stride, name="downsample")(x)
+            x = TorchConv(self.planes, 1, stride=self.stride,
+                          dtype=self.dtype, name="downsample")(x)
             x = _Norm(self.norm_fn, ng, name="norm3")(x)
         return nn.relu(x + y)
 
@@ -91,19 +95,22 @@ class BottleneckBlock(nn.Module):
     planes: int
     norm_fn: str = "group"
     stride: int = 1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         p4 = self.planes // 4
         ng = self.planes // 8
-        y = TorchConv(p4, 1, name="conv1")(x)
+        y = TorchConv(p4, 1, dtype=self.dtype, name="conv1")(x)
         y = nn.relu(_Norm(self.norm_fn, ng, name="norm1")(y))
-        y = TorchConv(p4, 3, stride=self.stride, padding=1, name="conv2")(y)
+        y = TorchConv(p4, 3, stride=self.stride, padding=1, dtype=self.dtype,
+                      name="conv2")(y)
         y = nn.relu(_Norm(self.norm_fn, ng, name="norm2")(y))
-        y = TorchConv(self.planes, 1, name="conv3")(y)
+        y = TorchConv(self.planes, 1, dtype=self.dtype, name="conv3")(y)
         y = nn.relu(_Norm(self.norm_fn, ng, name="norm3")(y))
         if self.stride != 1:
-            x = TorchConv(self.planes, 1, stride=self.stride, name="downsample")(x)
+            x = TorchConv(self.planes, 1, stride=self.stride,
+                          dtype=self.dtype, name="downsample")(x)
             x = _Norm(self.norm_fn, ng, name="norm4")(x)
         return nn.relu(x + y)
 
@@ -114,15 +121,19 @@ class BasicEncoder(nn.Module):
 
     output_dim: int = 128
     norm_fn: str = "batch"
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
-        x = TorchConv(64, 7, stride=2, padding=3, name="conv1")(x)
+        x = TorchConv(64, 7, stride=2, padding=3, dtype=self.dtype,
+                      name="conv1")(x)
         x = nn.relu(_Norm(self.norm_fn, 8, name="norm1")(x))
         for i, (dim, stride) in enumerate([(64, 1), (96, 2), (128, 2)]):
-            x = ResidualBlock(dim, self.norm_fn, stride, name=f"layer{i+1}_0")(x)
-            x = ResidualBlock(dim, self.norm_fn, 1, name=f"layer{i+1}_1")(x)
-        return TorchConv(self.output_dim, 1, name="conv2")(x)
+            x = ResidualBlock(dim, self.norm_fn, stride, dtype=self.dtype,
+                              name=f"layer{i+1}_0")(x)
+            x = ResidualBlock(dim, self.norm_fn, 1, dtype=self.dtype,
+                              name=f"layer{i+1}_1")(x)
+        return TorchConv(self.output_dim, 1, dtype=self.dtype, name="conv2")(x)
 
 
 class SmallEncoder(nn.Module):
@@ -130,15 +141,19 @@ class SmallEncoder(nn.Module):
 
     output_dim: int = 128
     norm_fn: str = "instance"
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
-        x = TorchConv(32, 7, stride=2, padding=3, name="conv1")(x)
+        x = TorchConv(32, 7, stride=2, padding=3, dtype=self.dtype,
+                      name="conv1")(x)
         x = nn.relu(_Norm(self.norm_fn, 8, name="norm1")(x))
         for i, (dim, stride) in enumerate([(32, 1), (64, 2), (96, 2)]):
-            x = BottleneckBlock(dim, self.norm_fn, stride, name=f"layer{i+1}_0")(x)
-            x = BottleneckBlock(dim, self.norm_fn, 1, name=f"layer{i+1}_1")(x)
-        return TorchConv(self.output_dim, 1, name="conv2")(x)
+            x = BottleneckBlock(dim, self.norm_fn, stride, dtype=self.dtype,
+                                name=f"layer{i+1}_0")(x)
+            x = BottleneckBlock(dim, self.norm_fn, 1, dtype=self.dtype,
+                                name=f"layer{i+1}_1")(x)
+        return TorchConv(self.output_dim, 1, dtype=self.dtype, name="conv2")(x)
 
 
 class FlowHead(nn.Module):
@@ -336,20 +351,23 @@ class RAFT(nn.Module):
     # (raft.py:121-144 flow_predictions) for the sequence loss
     pallas_lookup: bool = False  # 5× faster corr window sampling
     # (vst.kernels.pallas_corr; bf16 interpolation multiplies, ~0.2% rel)
+    encoder_dtype: Optional[Any] = None  # bf16 fnet/cnet convs (norm stats
+    # stay f32; GRU/corr unaffected) — ~2× the encoder cost, see bench notes
 
     @nn.compact
     def __call__(self, image1, image2,
                  flow_init: Optional[jnp.ndarray] = None):
+        edt = self.encoder_dtype
         if self.small:
             hdim, cdim = 96, 64
             corr_levels, corr_radius = 4, 3
-            fnet = SmallEncoder(128, "instance", name="fnet")
-            cnet = SmallEncoder(hdim + cdim, "none", name="cnet")
+            fnet = SmallEncoder(128, "instance", dtype=edt, name="fnet")
+            cnet = SmallEncoder(hdim + cdim, "none", dtype=edt, name="cnet")
         else:
             hdim, cdim = 128, 128
             corr_levels, corr_radius = 4, 4
-            fnet = BasicEncoder(256, "instance", name="fnet")
-            cnet = BasicEncoder(hdim + cdim, "batch", name="cnet")
+            fnet = BasicEncoder(256, "instance", dtype=edt, name="fnet")
+            cnet = BasicEncoder(hdim + cdim, "batch", dtype=edt, name="cnet")
 
         image1 = 2.0 * (image1 / 255.0) - 1.0
         image2 = 2.0 * (image2 / 255.0) - 1.0
@@ -363,7 +381,7 @@ class RAFT(nn.Module):
             num_levels=corr_levels,
         )
 
-        cfeat = cnet(image1)
+        cfeat = cnet(image1).astype(jnp.float32)  # GRU runs f32
         net, inp = jnp.split(cfeat, [hdim], axis=-1)
         net = jnp.tanh(net)
         inp = nn.relu(inp)

@@ -195,6 +195,67 @@ def s2d_conv_general(
     return y
 
 
+def s2d_conv_phase(
+    x_s: jnp.ndarray, w: jnp.ndarray, a: int, stride: int = 1,
+    t_pad: int = 0, pad_mode: str = "reflect",
+) -> jnp.ndarray:
+    """Exact-FLOPs conv on an S_a input producing an S_b output (b = a//stride).
+
+    MEASURED (v5e, 436×1024 FastStyleNet): exact FLOPs do NOT win — XLA
+    lowers this batched-tiny-conv (batch B·Hs·Ws, spatial (a+2p)²) to
+    gather-heavy im2col and it loses to ``s2d_conv_general``'s dense matmul
+    everywhere (b1: 13.2 ms vs 9.1 natural; b16: 19.2 vs 5.1 dense). Kept as
+    a correct, tested layout variant; the production net uses the dense
+    kernel. See NOTES_ROUND2.md.
+
+    ``s2d_conv_general`` re-places the kernel into an a²-dense S-space conv,
+    wasting (k2·a/k)² FLOPs — 16× for the k=3 s=1 full-res convs, which is
+    why the fast path used to lose at batch 1. This variant instead builds a
+    *phase-extended* grid: each S pixel's a×a phase block is widened with the
+    t_pad neighbouring T rows/cols (taken from adjacent S pixels, reflect- or
+    zero-padded at the image boundary) to (a+2p)×(a+2p), and the original
+    k×k kernel slides over the *phase axes* with the original stride — one
+    small conv whose batch is every S pixel. Output T row of S_b phase i at
+    S row u is u·a + s·i, reading T rows u·a + (s·i + dy − p): exactly the
+    natural conv. Zero wasted FLOPs; read amplification ((a+2p)/a)² on the
+    input activations only.
+
+    Requires stride | a, t_pad ≤ a, and the same-size-conv relation
+    (a + 2·t_pad − k) // stride + 1 == a // stride (true for every
+    FastStyleNet stage). x_s: (B, Hs, Ws, a²·Ci); w: (k, k, Ci, Co).
+    """
+    k, _, ci, co = w.shape
+    p, s = t_pad, stride
+    b = a // s
+    E = a + 2 * p
+    assert a == s * b and p <= a
+    assert (E - k) // s + 1 == b, (
+        f"phase conv needs (a+2p−k)//s+1 == a//s (k={k}, a={a}, s={s}, p={p})")
+
+    B, Hs, Ws, _ = x_s.shape
+    if p > 0:
+        if pad_mode == "reflect":
+            xp = reflect_pad_s2d(x_s, a, ci, p, (1, 1), (1, 1))
+        elif pad_mode == "zero":
+            xp = jnp.pad(x_s, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        else:
+            raise ValueError(pad_mode)
+        xr = xp.reshape(B, Hs + 2, Ws + 2, a, a, ci)
+        # rows: [phase a−p.. of S row above | own a phases | phase ..p of below]
+        xr = jnp.concatenate(
+            [xr[:, :Hs, :, a - p:], xr[:, 1:Hs + 1], xr[:, 2:, :, :p]], axis=3)
+        xr = jnp.concatenate(
+            [xr[:, :, :Ws, :, a - p:], xr[:, :, 1:Ws + 1], xr[:, :, 2:, :, :p]],
+            axis=4)
+    else:
+        xr = x_s.reshape(B, Hs, Ws, a, a, ci)
+
+    y = jax.lax.conv_general_dilated(
+        xr.reshape(B * Hs * Ws, E, E, ci), w.astype(x_s.dtype), (s, s),
+        "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y.reshape(B, Hs, Ws, b * b * co)
+
+
 def instance_norm_s2d(x_s: jnp.ndarray, a: int, C: int,
                       scale=None, bias=None, eps: float = 1e-5):
     """Instance norm over T-space (H, W) per T-channel, computed in S_a
@@ -220,3 +281,79 @@ def nearest_up2_s2d(x_s: jnp.ndarray, a: int, C: int) -> jnp.ndarray:
     xr = x_s.reshape(B, Hs, Ws, a, a, C)
     up = jnp.repeat(jnp.repeat(xr, 2, axis=3), 2, axis=4)
     return up.reshape(B, Hs, Ws, 4 * a * a * C)
+
+
+def fold_up2_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Fold a 3×3 kernel meant for a nearest-up2'd input into per-phase
+    3×3 kernels over the COARSE grid: (3, 3, Ci, Co) → (3, 3, Ci, 4·Co),
+    output channel order = d2s phase order (i·2+j)·Co + c.
+
+    Nearest-up2 duplicates each coarse pixel, so the three fine taps of a
+    3×3 conv land on at most two coarse pixels per axis; per output phase
+    the duplicated taps sum. Phase 0 touches coarse offsets {−1, 0}
+    (weights [w0, w1+w2]), phase 1 touches {0, +1} ([w0+w1, w2]); the
+    unused offset keeps a zero row/col so ONE VALID conv over an edge-padded
+    coarse input serves all four phases.
+    """
+    z = jnp.zeros_like(w[0])
+    r0 = jnp.stack([w[0], w[1] + w[2], z], 0)          # row phase 0
+    r1 = jnp.stack([z, w[0] + w[1], w[2]], 0)          # row phase 1
+
+    def cols(r):
+        zc = jnp.zeros_like(r[:, 0])
+        c0 = jnp.stack([r[:, 0], r[:, 1] + r[:, 2], zc], 1)
+        c1 = jnp.stack([zc, r[:, 0] + r[:, 1], r[:, 2]], 1)
+        return c0, c1
+
+    k00, k01 = cols(r0)
+    k10, k11 = cols(r1)
+    return jnp.concatenate([k00, k01, k10, k11], axis=-1)
+
+
+def up2_conv_subpixel(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """EXACT replacement for reflect_pad(1) ∘ conv3×3 ∘ nearest_up2 — the
+    FastStyleNet decoder stage (network.py:173-191) — computed entirely at
+    the coarse resolution: conv with the folded per-phase kernels, then
+    depth-to-space. Identical math (reflect pad on the fine grid reduces to
+    EDGE pad on the coarse grid: fine[−1] = fine[1] = x[0]); no 4×
+    upsampled intermediate ever exists, and the matmul N-dim is 4·Co.
+
+    x: (B, h, w, Ci); w: (3, 3, Ci, Co) → (B, 2h, 2w, Co).
+    """
+    co = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y = jax.lax.conv_general_dilated(
+        xp, fold_up2_kernel(w).astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return d2s(y, 2, co)
+
+
+def up2_conv_subpixel4(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Same math as ``up2_conv_subpixel`` with EXACT FLOPs (16/36 of the
+    folded-3×3 form): each output phase's folded kernel has a 2×2 support,
+    so run four 2×2 VALID convs over shifted views of the edge-padded coarse
+    input and depth-to-space the concatenated phases."""
+    co = w.shape[-1]
+    # row folds: phase0 [w0, w1+w2], phase1 [w0+w1, w2]; same per column
+    r0 = jnp.stack([w[0], w[1] + w[2]], 0)
+    r1 = jnp.stack([w[0] + w[1], w[2]], 0)
+
+    def cols(r):
+        return (jnp.stack([r[:, 0], r[:, 1] + r[:, 2]], 1),
+                jnp.stack([r[:, 0] + r[:, 1], r[:, 2]], 1))
+
+    k00, k01 = cols(r0)
+    k10, k11 = cols(r1)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    h, wd = x.shape[1], x.shape[2]
+
+    def c(v, k):
+        return jax.lax.conv_general_dilated(
+            v, k.astype(x.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    y00 = c(xp[:, :-1, :-1], k00)[:, :h, :wd]
+    y01 = c(xp[:, :-1, 1:], k01)[:, :h, :wd]
+    y10 = c(xp[:, 1:, :-1], k10)[:, :h, :wd]
+    y11 = c(xp[:, 1:, 1:], k11)[:, :h, :wd]
+    return d2s(jnp.concatenate([y00, y01, y10, y11], axis=-1), 2, co)

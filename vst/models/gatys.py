@@ -56,7 +56,7 @@ class OBST:
 
     def __init__(self, vgg_params: Optional[dict] = None,
                  max_iters: Sequence[int] = MAX_ITERS, seed: int = 0,
-                 memory_size: int = 100):
+                 memory_size: int = 100, compute_dtype=jnp.float32):
         self.vgg = CaffeVGG(pool="max")
         if vgg_params is None:
             dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -64,6 +64,12 @@ class OBST:
                 jax.random.PRNGKey(seed), dummy, list(STYLE_LAYERS)
             )["params"]
         self.vgg_params = vgg_params
+        # bf16 VGG closures with f32 Gram/MSE accumulation double MXU rate
+        # and halve HBM traffic on the ~120 VGG fwd+bwd per frame; the image
+        # itself, the LBFGS state and every loss reduction stay f32.
+        self.compute_dtype = compute_dtype
+        self._vgg_params_c = jax.tree.map(
+            lambda p: jnp.asarray(p, compute_dtype), vgg_params)
         self.max_iters = tuple(max_iters)
         self.memory_size = memory_size
         self.style_targets: Optional[List[List[jnp.ndarray]]] = None
@@ -78,8 +84,11 @@ class OBST:
         for shape in pyr_shapes:
             img = jnp.asarray(style_img)[None]
             img = resize_bilinear(img, shape, align_corners=False)
-            x = obst_prep(img)
-            feats = self.vgg.apply({"params": self.vgg_params}, x, list(STYLE_LAYERS))
+            x = obst_prep(img).astype(self.compute_dtype)
+            feats = self.vgg.apply(
+                {"params": self._vgg_params_c}, x, list(STYLE_LAYERS))
+            # targets through the SAME compute path as the closure so any
+            # bf16 bias cancels in (gram(f) − g_t); gram accumulates f32.
             targets.append([gram_matrix(f) for f in feats])
         self.style_targets = targets
 
@@ -88,14 +97,15 @@ class OBST:
     def _loss(self, opt_img, style_grams, content_feats, warp_img, mask_img,
               weight_tcl):
         feats = self.vgg.apply(
-            {"params": self.vgg_params}, opt_img,
+            {"params": self._vgg_params_c},
+            opt_img.astype(self.compute_dtype),
             list(STYLE_LAYERS) + list(CONTENT_LAYERS),
         )
         loss = 0.0
         for w, f, g_t in zip(STYLE_WEIGHTS, feats[: len(STYLE_LAYERS)], style_grams):
             loss += w * jnp.mean((gram_matrix(f) - g_t) ** 2)
         for w, f, f_t in zip(CONTENT_WEIGHTS, feats[len(STYLE_LAYERS):], content_feats):
-            loss += w * jnp.mean((f - f_t) ** 2)
+            loss += w * jnp.mean((f.astype(jnp.float32) - f_t) ** 2)
         loss += weight_tcl * jnp.mean((mask_img * (opt_img - warp_img)) ** 2)
         return loss
 
@@ -152,9 +162,10 @@ class OBST:
             mask_targets.append(resize_bilinear(mimg, shape, align_corners=False))
             c = resize_bilinear(img, shape, align_corners=False)
             content_targets.append([
-                jax.lax.stop_gradient(f)
-                for f in self.vgg.apply({"params": self.vgg_params}, c,
-                                        list(CONTENT_LAYERS))
+                jax.lax.stop_gradient(f.astype(jnp.float32))
+                for f in self.vgg.apply(
+                    {"params": self._vgg_params_c},
+                    c.astype(self.compute_dtype), list(CONTENT_LAYERS))
             ])
 
         opt_img = pre

@@ -13,9 +13,12 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     Matches torch.nn.InstanceNorm2d (biased variance, eps inside sqrt).
     x: (B, H, W, C).
     """
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.mean((x - mean) ** 2, axis=(1, 2), keepdims=True)
-    return (x - mean) / jnp.sqrt(var + eps)
+    # stats accumulate in f32 even for bf16 activations (H·W-element means
+    # in bf16 lose ~2 decimal digits); output keeps the input dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=(1, 2), keepdims=True)
+    return (((xf - mean) / jnp.sqrt(var + eps)).astype(x.dtype))
 
 
 class InstanceNorm(nn.Module):
