@@ -66,7 +66,7 @@ def test_tcl_zero_for_identity_generator_and_exact_flow():
         f = jnp.asarray(gt["fwd"])
         return None, jnp.broadcast_to(f, (i1.shape[0],) + f.shape[1:])
 
-    tcl_prog, _ = make_tcl_program(stylize, raft_apply)
+    tcl_prog, _, _ = make_tcl_program(stylize, raft_apply)
 
     # zero-motion pair: frame vs itself → flow 0 → warp ≈ identity-quirk
     gt["fwd"] = np.zeros((1, 64, 96, 2), np.float32)

@@ -45,3 +45,38 @@ def test_mask_drops_out_of_frame_content():
     unrecoverable content is masked)."""
     b = synthetic_batch(4, hw=(64, 64), n_frames=2, seed=7)
     assert b["masks"].mean() < 1.0  # some occlusion exists across the batch
+
+
+def test_pairwise_flows_consistent_with_generate():
+    """pairwise_flows(k−1, k) must reproduce generate()'s per-step backward
+    flow, and a composed (0→2) warp must align frame2 to frame0 where the
+    motion is in-bounds."""
+    import numpy as np
+    from vst.data.synthetic import AffineMotionGenerator, _texture
+
+    rng = np.random.RandomState(0)
+    gen = AffineMotionGenerator(crop_hw=(64, 96), seed=3)
+    frames, flows, masks = gen.generate(_texture(rng, (160, 192)), n_frames=4)
+
+    for k in range(1, 4):
+        ff, bf = gen.pairwise_flows(k - 1, k)
+        np.testing.assert_allclose(bf, flows[k - 1], atol=1e-4)
+
+    # composed far pair: backward-warp frame2 onto frame0's grid with the
+    # analytic flow (vst.ops.sample.warp) and check masked agreement
+    import jax.numpy as jnp
+    from vst.ops.sample import warp
+    from vst.ops.flowtools import fbc_mask
+
+    ff, bf = gen.pairwise_flows(0, 2)
+    # bf = flow frame2→frame0: warps the EARLIER frame onto frame2's grid
+    # (the TCL convention, utils/sintel_eval.py:104-110)
+    w = np.asarray(warp(jnp.asarray(frames[0:1]), jnp.asarray(bf)[None]))[0]
+    m = np.asarray(fbc_mask(jnp.asarray(ff)[None], jnp.asarray(bf)[None]))[0]
+    if m.sum() > 100:  # enough consistent pixels to measure
+        err = np.abs((w - frames[2]) * m).sum() / (m.sum() * 3)
+        # vst.ops.warp keeps the reference's flowtools quirk (×W/(W−1),
+        # −0.5 shift) so even exact flow leaves a resampling floor;
+        # the warp must still clearly beat not warping at all
+        err0 = np.abs((frames[2] - frames[0]) * m).sum() / (m.sum() * 3)
+        assert err < 0.6 * err0, (err, err0)

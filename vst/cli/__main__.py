@@ -36,6 +36,12 @@ def _add_common(p):
     p.add_argument("--ckpt-every", type=int, default=1000)
     p.add_argument("--data-dir", type=str, default=None,
                    help="FC2 DATAFiles dir; synthetic batches if omitted")
+    p.add_argument("--device-cache", type=int, default=0,
+                   help="cache N corpus samples in HBM once (uint8/f16) and "
+                        "sample batches fully on-device — removes the "
+                        "host→device transfer from the hot loop entirely "
+                        "(the tunneled link here costs seconds per 256² "
+                        "batch). 0 = stream from host")
 
 
 def cmd_train_faststyle(args):
@@ -56,7 +62,16 @@ def cmd_train_faststyle(args):
     trainer = FastStyleTrainer(cfg, styles, seed=args.seed)
 
     def batches():
-        if args.data_dir:
+        if args.data_dir and args.device_cache:
+            from vst.data.device_cache import DeviceFC2Cache
+
+            cache = DeviceFC2Cache(args.data_dir, limit=args.device_cache,
+                                   seed=args.seed)
+            print(f"device cache: {cache.n} samples resident in HBM",
+                  flush=True)
+            while True:
+                yield cache.sample(args.batch_size)
+        elif args.data_dir:
             ds = NpyDirDataset(args.data_dir, args.batch_size)
             while True:
                 for b in ds.epoch():
@@ -122,7 +137,17 @@ def cmd_train_cyclegan(args):
         GT mask/flow of the A-side pair."""
         import os
 
-        if args.data_dir and os.path.isdir(
+        if args.data_dir and args.device_cache:
+            from vst.data.device_cache import DeviceStyledCache
+
+            cache = DeviceStyledCache(
+                args.data_dir, num_dom=max(args.sid + 1, 2),
+                limit=args.device_cache, seed=args.seed)
+            print(f"device cache: {cache.n} samples resident in HBM",
+                  flush=True)
+            while True:
+                yield cache.sample_cyclegan(args.batch_size, args.sid)
+        elif args.data_dir and os.path.isdir(
                 os.path.join(args.data_dir, "styled-files")):
             from vst.data.fc2 import CycleGANFC2Dataset
 
@@ -186,10 +211,27 @@ def cmd_train_stargan(args):
     ckpt = Checkpointer(args.out_dir)
     rng = jax.random.PRNGKey(args.seed)
 
+    def sg1_batches():
+        if args.data_dir and args.device_cache:
+            from vst.data.device_cache import DeviceStyledCache
+
+            cache = DeviceStyledCache(args.data_dir, num_dom=args.num_domains,
+                                      limit=args.device_cache, seed=args.seed)
+            print(f"device cache: {cache.n} samples × {cache.num_dom} domains",
+                  flush=True)
+            while True:
+                yield cache.sample(args.batch_size)
+        else:
+            j = 0
+            while True:
+                yield from synthetic_fc2_batches(
+                    4, args.batch_size, hw=tuple(args.hw),
+                    num_dom=args.num_domains, seed=args.seed + j)
+                j += 4
+
     i = 0
     while i < args.steps:
-        for b in synthetic_fc2_batches(4, args.batch_size, hw=tuple(args.hw),
-                                       num_dom=args.num_domains, seed=args.seed + i):
+        for b in sg1_batches():
             x = jnp.asarray(b["x_src"])
             c_org = jax.nn.one_hot(jnp.asarray(b["y_src"]), cfg.c_dim)
             c_trg = jax.nn.one_hot(jnp.asarray(b["y_ref"]), cfg.c_dim)
@@ -232,7 +274,16 @@ def cmd_train_stargan2(args):
         (97% train split, data_loader.py:295-317), synthetic otherwise."""
         import os
 
-        if args.data_dir and os.path.isdir(
+        if args.data_dir and args.device_cache:
+            from vst.data.device_cache import DeviceStyledCache
+
+            cache = DeviceStyledCache(args.data_dir, num_dom=args.num_domains,
+                                      limit=args.device_cache, seed=args.seed)
+            print(f"device cache: {cache.n} samples × {cache.num_dom} domains "
+                  "resident in HBM", flush=True)
+            while True:
+                yield cache.sample(args.batch_size)
+        elif args.data_dir and os.path.isdir(
                 os.path.join(args.data_dir, "DATAFiles")):
             from vst.data.fc2 import DatasetFC2, FC2Loader, train_eval_split
 
@@ -332,6 +383,7 @@ def cmd_eval_sintel(args):
     from vst.train.faststyle import FastStyleTrainer
     from vst.data.styles import load_style_images
 
+    flow_fn = None
     if args.sintel_dir:
         videos = load_sintel_videos(args.sintel_dir)
     else:
@@ -340,6 +392,14 @@ def cmd_eval_sintel(args):
         big = (args.hw[0] + 96, args.hw[1] + 96)
         frames, _, _ = gen.generate(_texture(rng, big), n_frames=8)
         videos = [SintelVideo("synthetic_1", frames)]
+
+        def flow_fn(video, i, j):
+            """Analytic motion oracle: without pretrained RAFT weights the
+            random-net flow fails the fb-consistency check everywhere
+            (mask ≡ 0 → TCL ≡ 0); the affine generator knows the exact
+            flow between ANY frame pair."""
+            ff, bf = gen.pairwise_flows(j, i)  # j = earlier, i = current
+            return ff, bf
 
     cfg = select_method(args.method, n_styles=args.n_styles)
     styles = load_style_images(size=64)[:max(args.n_styles, 1)]
@@ -362,7 +422,7 @@ def cmd_eval_sintel(args):
     results = evaluate_sintel_faststyle(
         trainer, params, videos, raft_apply,
         styles=list(range(max(args.n_styles, 3))),
-        out_path=args.out_dir, dt_iters=args.dt_iters,
+        out_path=args.out_dir, dt_iters=args.dt_iters, flow_fn=flow_fn,
     )
     print({k: v[f"{k}_mean"] for k, v in results.items()})
 

@@ -118,6 +118,7 @@ class AffineMotionGenerator:
         masks: List[np.ndarray] = []
         cur = image
         cur_mat = np.eye(3, dtype=np.float32)
+        self._mats = [cur_mat.copy()]
         for _ in range(n_frames - 1):
             tsr = _tsr_matrix(self.rng, (h, w))
             nxt = cv2.warpAffine(cur, np.linalg.inv(tsr)[:2], (w, h), flags=cv2.INTER_LINEAR)
@@ -129,11 +130,32 @@ class AffineMotionGenerator:
             frames.append(self._center_crop(nxt))
             cur = nxt
             cur_mat = tsr @ cur_mat
+            # frame_k → image-coords map: T_k = tsr_1 @ … @ tsr_k (frame_k(p)
+            # = image(T_k·p)); note cur_mat accumulates the REVERSED product
+            self._mats.append((self._mats[-1] @ tsr).astype(np.float32))
+        self._full_hw = (h, w)
         return (
             np.stack(frames).astype(np.float32),
             np.stack(flows),
             np.stack(masks),
         )
+
+    _mats: List[np.ndarray] = None  # cumulative per-frame transforms
+    _full_hw = None
+
+    def pairwise_flows(self, i: int, j: int):
+        """Analytic forward/backward flow between frames i (earlier) and j
+        of the LAST generate() call, center-cropped: the motion oracle for
+        GT-flow TCL eval (frames are related by composed affines, so flow
+        between ANY pair is exact — the reference's D2 synthesizer only
+        materializes consecutive pairs). Returns (ff i→j, bf j→i)."""
+        assert self._mats is not None, "call generate() first"
+        # M_{j→i} = T_i⁻¹ @ T_j  (maps frame_j coords to frame_i coords);
+        # for consecutive (k−1, k) this reduces to tsr_k, matching generate()
+        t_ij = (np.linalg.inv(self._mats[i]) @ self._mats[j]).astype(np.float32)
+        fw, bw = _affine_flow(t_ij, self._full_hw)
+        return (self._center_crop(fw).astype(np.float32),
+                self._center_crop(bw).astype(np.float32))
 
 
 def _texture(rng: np.random.RandomState, hw) -> np.ndarray:

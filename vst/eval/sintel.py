@@ -115,10 +115,20 @@ def make_tcl_program(
         val = jnp.sqrt(jnp.mean((mask * (x_fake - warped)) ** 2))
         return x_fake, val
 
+    def tcl_gt(img, img2, style, ff, bf):
+        """Same metric with PRECOMPUTED flow (the reference's GT-flow infer
+        path, fast_style_transfer.py:267-390) — used when flow comes from a
+        dataset or an analytic motion oracle instead of RAFT."""
+        x_fake = stylize_fn(img, style)
+        mask = fbc_mask(ff, bf)
+        warped = warp(stylize_fn(img2, style), bf)
+        val = jnp.sqrt(jnp.mean((mask * (x_fake - warped)) ** 2))
+        return x_fake, val
+
     def stylize(img, style):
         return stylize_fn(img, style)
 
-    return jax.jit(tcl), jax.jit(stylize)
+    return jax.jit(tcl), jax.jit(stylize), jax.jit(tcl_gt)
 
 
 def evaluate_videos(
@@ -133,6 +143,7 @@ def evaluate_videos(
     save_frames: bool = False,
     dt_iters: int = 10,
     num_domains: Optional[int] = None,
+    flow_fn: Optional[Callable] = None,
 ) -> Dict[str, Dict[str, float]]:
     """Run the full Sintel benchmark.
 
@@ -143,7 +154,7 @@ def evaluate_videos(
     ``out_path`` given.
     """
     ft = frame_transform or (lambda x: x)
-    tcl_prog, stylize_prog = make_tcl_program(
+    tcl_prog, stylize_prog, tcl_gt_prog = make_tcl_program(
         stylize_fn, raft_apply, raft_preprocess=raft_preprocess
     )
 
@@ -166,7 +177,8 @@ def evaluate_videos(
             for d, style in enumerate(styles):
                 results_for = _eval_one(
                     video, frames, n, d, style, stylize_prog, tcl_prog,
-                    lt_len, dt_iters, save_frames, out_path)
+                    lt_len, dt_iters, save_frames, out_path,
+                    tcl_gt_prog=tcl_gt_prog, flow_fn=flow_fn)
                 key = f"{video.name}_s{d + 1}"
                 tcl_st[f"TCL-ST_{key}"], tcl_lt[f"TCL-LT_{key}"], dt[f"DT_{key}"] = results_for
     nd = (num_domains or len(styles) + 1) - 1
@@ -187,7 +199,8 @@ def evaluate_videos(
 
 
 def _eval_one(video, frames, n, d, style, stylize_prog, tcl_prog,
-              lt_len, dt_iters, save_frames, out_path):
+              lt_len, dt_iters, save_frames, out_path,
+              tcl_gt_prog=None, flow_fn=None):
     """One (video, style) pass: DT chained timing + per-frame ST/LT TCL.
     Phases carry profiler annotations (vst.core.trace) so a
     VST_PROFILE_DIR trace shows DT vs TCL device time separately."""
@@ -208,15 +221,24 @@ def _eval_one(video, frames, n, d, style, stylize_prog, tcl_prog,
         float(jnp.sum(x))
         dt_ms = (time.perf_counter() - t0) / dt_iters * 1000.0
 
+    def tcl_pair(img, j, i):
+        """TCL between current i and earlier j — RAFT flow, or the caller's
+        flow oracle (GT .flo / analytic affine motion) when flow_fn given."""
+        if flow_fn is None:
+            _, v = tcl_prog(img, frames[j:j + 1], style)
+        else:
+            ff, bf = flow_fn(video, i, j)
+            _, v = tcl_gt_prog(img, frames[j:j + 1], style,
+                               jnp.asarray(ff)[None], jnp.asarray(bf)[None])
+        return v
+
     with annotate(f"TCL/{key}"):
         for i in range(n):
             img = frames[i:i + 1]
             if i > 0:
-                _, v = tcl_prog(img, frames[i - 1:i], style)
-                st_vals.append(float(v))
+                st_vals.append(float(tcl_pair(img, i - 1, i)))
             if i >= lt_len:
-                _, v = tcl_prog(img, frames[i - lt_len:i - lt_len + 1], style)
-                lt_vals.append(float(v))
+                lt_vals.append(float(tcl_pair(img, i - lt_len, i)))
             if save_frames and out_path:
                 x_fake = np.asarray(stylize_prog(img, style))[0]
                 _save_frame(x_fake, os.path.join(out_path, key, f"frame_{i:04d}.png"))

@@ -59,10 +59,12 @@ class OBST:
                  memory_size: int = 100, compute_dtype=jnp.float32):
         self.vgg = CaffeVGG(pool="max")
         if vgg_params is None:
+            from vst.perceptual.vgg import he_randomized_params
+
             dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
-            vgg_params = self.vgg.init(
+            vgg_params = he_randomized_params(self.vgg.init(
                 jax.random.PRNGKey(seed), dummy, list(STYLE_LAYERS)
-            )["params"]
+            )["params"], seed)
         self.vgg_params = vgg_params
         # bf16 VGG closures with f32 Gram/MSE accumulation double MXU rate
         # and halve HBM traffic on the ~120 VGG fwd+bwd per frame; the image

@@ -203,3 +203,37 @@ def obst_postp(x: jnp.ndarray) -> jnp.ndarray:
     x = x + mean
     x = jnp.clip(x, 0.0, 1.0)
     return x[..., ::-1]
+
+
+def he_randomized_params(params: dict, seed: int = 0) -> dict:
+    """Re-draw every conv kernel He-normal (fan_in, gain √2) and zero the
+    biases. The no-pretrained-weights fallback: torch's default conv init
+    (kaiming-uniform, a=√5 → gain ≈ 0.58) SHRINKS activations ~2× per layer,
+    so by relu3_3 a 10-layer random VGG maps every image to near-identical
+    features — perceptual losses then have zero signal and TV collapses the
+    generator to flat gray (observed in the first corpus Johnson run).
+    He-scaled random features keep unit variance at depth, which makes
+    random-projection Gram/content statistics discriminative (the
+    "style transfer with random weights" regime)."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    rng = np.random.RandomState(seed)  # host numpy — no per-leaf TPU compiles
+    out = {}
+
+    def set_in(tree, path, val):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = val
+
+    for path, leaf in flat:
+        names = [p.key for p in path]
+        if names[-1] == "kernel":
+            kh, kw, ci, co = leaf.shape
+            std = np.sqrt(2.0 / (kh * kw * ci))
+            val = (rng.randn(*leaf.shape) * std).astype(np.float32)
+        else:
+            val = np.zeros(leaf.shape, np.float32)
+        set_in(out, names, jnp.asarray(val))
+    return out

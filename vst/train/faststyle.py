@@ -115,8 +115,14 @@ class FastStyleTrainer:
         key = jax.random.PRNGKey(seed)
         k_vgg, k_model, k_pre = jax.random.split(key, 3)
         if vgg_params is None:
+            from vst.perceptual.vgg import he_randomized_params
+
             dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
-            vgg_params = self.vgg.init(k_vgg, dummy)["params"]
+            # He-scaled random features — torch-default init vanishes by
+            # relu3_3 and the perceptual losses lose all signal (see
+            # he_randomized_params docstring)
+            vgg_params = he_randomized_params(
+                self.vgg.init(k_vgg, dummy)["params"], seed)
         self.vgg_params = vgg_params
 
         self.pre_style_params = pre_style_params
