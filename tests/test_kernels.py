@@ -47,22 +47,6 @@ def test_s2d_conv_gradients_flow():
 
 
 @pytest.mark.slow
-def test_pallas_conv9_interpret_exact():
-    """The fused Pallas conv (interpret mode — Mosaic lowering is WIP, see
-    module docstring) must match lax.conv exactly."""
-    from vst.kernels.pallas_conv9 import pallas_conv9x9
-
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(1, 40, 136, 3).astype(np.float32))
-    w = jnp.asarray(rng.randn(9, 9, 3, 8).astype(np.float32) * 0.1)
-    ref = jax.lax.conv_general_dilated(
-        x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    got = pallas_conv9x9(x, w, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-4, atol=1e-5)
-
-
-@pytest.mark.slow
 def test_pallas_corr_lookup_matches_xla():
     """The Pallas window-sampling kernel vs the exact XLA gather path
     (tolerance covers the kernel's bf16 interpolation multiplies on TPU;

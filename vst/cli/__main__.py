@@ -220,7 +220,9 @@ def cmd_train_stargan(args):
             print(f"device cache: {cache.n} samples × {cache.num_dom} domains",
                   flush=True)
             while True:
-                yield cache.sample(args.batch_size)
+                # v1 trains on plain multi-domain images (main.py:30), not
+                # the SG2 pseudo-pair statistics
+                yield cache.sample_multidomain(args.batch_size)
         else:
             j = 0
             while True:
@@ -574,6 +576,48 @@ def cmd_datagen_styled(args):
     print(f"styled {args.n_samples} images into {args.out_dir}")
 
 
+def cmd_align_faces(args):
+    """align_faces parity (StarGANv2Adv/core/wing.py:413-436): align every
+    image in input-dir to the landmark template and write output-dir."""
+    import os
+
+    import imageio.v2 as imageio
+    import jax
+
+    from vst.models.align import FaceAligner
+    from vst.models.wing import FAN, fan_params_from_torch
+    from vst.ops.image import resize_bilinear
+    import jax.numpy as jnp
+
+    fan = FAN()
+    if args.wing_ckpt:
+        import torch
+
+        params = fan_params_from_torch(
+            torch.load(args.wing_ckpt, map_location="cpu"))
+    else:
+        params = fan.init(jax.random.PRNGKey(args.seed),
+                          jnp.zeros((1, 256, 256, 3)))["params"]
+    ref = None
+    if args.lm_path:
+        ref = np.load(args.lm_path)["mean"].astype(np.float32)
+    aligner = FaceAligner(fan, params, output_size=args.img_size,
+                          ref_landmarks=ref)
+
+    os.makedirs(args.output_dir_align, exist_ok=True)
+    names = sorted(os.listdir(args.input_dir))
+    for name in names:
+        img = imageio.imread(os.path.join(args.input_dir, name))
+        img = np.asarray(resize_bilinear(
+            jnp.asarray(img.astype(np.float32) / 255.0)[None],
+            (args.img_size, args.img_size), align_corners=False))[0]
+        out = aligner.align(img[None] * 2.0 - 1.0)[0]
+        imageio.imwrite(
+            os.path.join(args.output_dir_align, name),
+            (np.clip(out * 0.5 + 0.5, 0, 1) * 255).astype(np.uint8))
+    print(f"aligned {len(names)} images → {args.output_dir_align}")
+
+
 def cmd_datagen_corpus(args):
     from vst.data.datagen import generate_fc2_corpus
 
@@ -683,6 +727,19 @@ def main(argv=None):
                    help="'procedural' = deterministic per-domain transforms "
                         "(for environments without pretrained VGG weights)")
     p.set_defaults(fn=cmd_datagen_corpus)
+
+    p = sub.add_parser("align-faces",
+                       help="FAN-landmark face alignment over an image dir "
+                            "(the reference's main.py --mode align)")
+    _add_common(p)
+    p.add_argument("--input-dir", type=str, required=True)
+    p.add_argument("--output-dir-align", type=str, required=True)
+    p.add_argument("--img-size", type=int, default=256)
+    p.add_argument("--wing-ckpt", type=str, default=None,
+                   help="wing.ckpt torch state dict (seeded FAN otherwise)")
+    p.add_argument("--lm-path", type=str, default=None,
+                   help="celeba_lm_mean.npz; synthetic template otherwise")
+    p.set_defaults(fn=cmd_align_faces)
 
     p = sub.add_parser("demo")
     _add_common(p)

@@ -6,7 +6,8 @@
   large-kernel small-channel convs).
 - pallas_corr: Pallas correlation-window lookup (16× full-RAFT speedup;
   bf16 interpolation multiplies — flag-gated vs the exact XLA path).
-- pallas_conv9: fused conv kernel, interpret-validated; Mosaic lowering WIP
+- (pallas_conv9 was removed in round 2: the layout-propagated net made the
+  fused 9×9 kernel redundant and it never lowered through Mosaic)
   (see module docstring for the blocker + plan).
 """
 

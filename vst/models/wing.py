@@ -246,13 +246,17 @@ def preprocess_heatmaps(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return m1, m2
 
 
-def get_heatmap(fan: FAN, params, x: jnp.ndarray):
+def get_heatmap(fan: FAN, params, x: jnp.ndarray, preprocess: bool = True):
     """wing.py:249-260: resize to 256, map [−1,1]→[0,1], run FAN, drop the
-    boundary channel, 4× upsample (align_corners=True), preprocess."""
+    boundary channel; with ``preprocess`` (default) 4× upsample
+    (align_corners=True) + mask preprocessing, else the raw 64² heatmaps
+    (the ``b_preprocess=False`` landmark path, wing.py:262-272)."""
     x = resize_bilinear(x, (256, 256), align_corners=False)
     x01 = x * 0.5 + 0.5
     heat, _ = fan.apply({"params": params}, x01)
     heat = heat[..., :-1]
+    if not preprocess:
+        return heat
     heat = resize_bilinear(heat, (256, 256), align_corners=True)
     return preprocess_heatmaps(heat)
 
