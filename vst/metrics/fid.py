@@ -27,6 +27,12 @@ class InceptionV3:
         else:
             dummy = jnp.zeros((1, 75, 75, 3), jnp.float32)
             self.params = self.net.init(jax.random.PRNGKey(seed), dummy)["params"]
+            from vst.perceptual.vgg import he_randomized_params
+
+            # torch-default init vanishes features at depth (random trunk
+            # maps every image to ~identical activations -> FID/LPIPS
+            # degenerate); He-scaled random features stay discriminative
+            self.params = he_randomized_params(self.params, seed)
         self._apply = jax.jit(
             lambda p, x: self.net.apply({"params": p}, x)
         )

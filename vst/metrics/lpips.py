@@ -118,6 +118,12 @@ class LPIPS:
         else:
             dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
             self.params = self.net.init(jax.random.PRNGKey(seed), dummy)["params"]
+            from vst.perceptual.vgg import he_randomized_params
+
+            # torch-default init vanishes features at depth (random trunk
+            # maps every image to ~identical activations -> FID/LPIPS
+            # degenerate); He-scaled random features stay discriminative
+            self.params = he_randomized_params(self.params, seed)
         self.lin = [jnp.asarray(w) for w in load_lin_weights(lin_path)]
 
         def fn(params, lin, x, y):

@@ -229,11 +229,15 @@ def he_randomized_params(params: dict, seed: int = 0) -> dict:
 
     for path, leaf in flat:
         names = [p.key for p in path]
-        if names[-1] == "kernel":
+        if names[-1] == "kernel" and getattr(leaf, "ndim", 0) == 4:
             kh, kw, ci, co = leaf.shape
             std = np.sqrt(2.0 / (kh * kw * ci))
-            val = (rng.randn(*leaf.shape) * std).astype(np.float32)
+            val = jnp.asarray((rng.randn(*leaf.shape) * std).astype(np.float32))
+        elif names[-1] == "bias":
+            val = jnp.asarray(np.zeros(leaf.shape, np.float32))
         else:
-            val = np.zeros(leaf.shape, np.float32)
-        set_in(out, names, jnp.asarray(val))
+            # norm scales / running stats etc. keep their init — zeroing a
+            # BatchNorm scale would kill the features outright
+            val = leaf
+        set_in(out, names, val)
     return out
