@@ -1,5 +1,6 @@
 """FastStyleNet shape / gating / multi-style behavior tests."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -7,6 +8,7 @@ import jax.numpy as jnp
 from vst.models.faststyle import FastStyleNet, ResidualBlock
 
 
+@pytest.mark.slow
 def test_faststyle_shapes_single_style():
     model = FastStyleNet(n_styles=1)
     x = jnp.zeros((1, 64, 96, 3))
@@ -16,6 +18,7 @@ def test_faststyle_shapes_single_style():
     assert out.shape == (1, 64, 96, 3)
 
 
+@pytest.mark.slow
 def test_faststyle_ruder_input_channels():
     """Ruder variant: 7-channel input (frame ⊕ mask ⊕ warped prev styled)."""
     model = FastStyleNet(num_inp=7, n_styles=1)

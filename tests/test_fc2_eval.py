@@ -58,6 +58,7 @@ def test_calculate_metrics_end_to_end(tmp_path):
     assert all(v > 0 for v in lp)
 
 
+@pytest.mark.slow
 def test_evaluate_fc2_obst():
     from vst.eval.drivers import evaluate_fc2_obst
     from vst.models.gatys import OBST

@@ -197,3 +197,25 @@ def test_raft_bf16_encoders_close_to_f32():
     denom = np.abs(np.asarray(f32)).mean() + 1e-6
     rel = np.abs(np.asarray(f32) - np.asarray(f16)).mean() / denom
     assert rel < 0.15, rel
+
+
+@pytest.mark.slow
+def test_raft_bf16_update_block_close_to_f32():
+    """update_dtype=bf16 (GRU gates/motion encoder in bf16, f32 hidden
+    state + delta conv) shares the param tree and stays close."""
+    rng = np.random.RandomState(4)
+    img1 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32) * 255)
+    img2 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32) * 255)
+
+    r32 = RAFT(small=False, iters=4)
+    r16 = RAFT(small=False, iters=4, encoder_dtype=jnp.bfloat16,
+               update_dtype=jnp.bfloat16)
+    params = r32.init(jax.random.PRNGKey(0), img1, img2)
+    jax.tree.map(lambda a, b: None, params,
+                 r16.init(jax.random.PRNGKey(0), img1, img2))
+    _, f32 = r32.apply(params, img1, img2)
+    _, f16 = r16.apply(params, img1, img2)
+    assert f16.dtype == jnp.float32
+    denom = np.abs(np.asarray(f32)).mean() + 1e-6
+    rel = np.abs(np.asarray(f32) - np.asarray(f16)).mean() / denom
+    assert rel < 0.2, rel

@@ -33,6 +33,7 @@ def test_inception_trunk_shapes():
     assert y.shape == (1, 2048)
 
 
+@pytest.mark.slow
 def test_inception_converter_roundtrip():
     """Fabricate a torchvision-layout sd from our params; converting it back
     must reproduce the original forward exactly."""

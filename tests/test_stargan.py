@@ -15,6 +15,7 @@ from vst.train.stargan import (
 from vst.train.stargan2 import StarGAN2Config, StarGAN2Trainer, adv_loss
 
 
+@pytest.mark.slow
 def test_stargan1_generator_shapes():
     g = G1(conv_dim=8, c_dim=4, repeat_num=2)
     x = jnp.zeros((2, 32, 32, 3))
@@ -25,6 +26,7 @@ def test_stargan1_generator_shapes():
     assert float(jnp.abs(y).max()) <= 1.0
 
 
+@pytest.mark.slow
 def test_stargan1_discriminator_heads():
     d = D1(image_size=64, conv_dim=8, c_dim=4, repeat_num=6)
     x = jnp.zeros((2, 64, 64, 3))

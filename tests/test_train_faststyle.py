@@ -115,6 +115,7 @@ def test_multistyle_training():
         assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_stylize_fn_output_range():
     trainer = _trainer("johnson", (1e0, 1e1, 1e-4))
     batch = synthetic_batch(1, hw=(64, 64), n_frames=2, seed=4)

@@ -160,26 +160,33 @@ class FlowHead(nn.Module):
     """update.py:6-14."""
 
     hidden_dim: int = 256
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(TorchConv(self.hidden_dim, 3, padding=1, name="conv1")(x))
-        return TorchConv(2, 3, padding=1, name="conv2")(x)
+        x = nn.relu(TorchConv(self.hidden_dim, 3, padding=1,
+                              dtype=self.dtype, name="conv1")(x))
+        # the delta-flow output conv always accumulates/returns f32
+        return TorchConv(2, 3, padding=1, name="conv2")(x.astype(jnp.float32))
 
 
 class BasicMotionEncoder(nn.Module):
     """update.py:79-97: corr → 256 → 192; flow → 128 → 64; fuse → 126 ⊕ flow."""
 
+    dtype: Optional[Any] = None
+
     @nn.compact
     def __call__(self, flow, corr):
-        cor = nn.relu(TorchConv(256, 1, name="convc1")(corr))
-        cor = nn.relu(TorchConv(192, 3, padding=1, name="convc2")(cor))
-        flo = nn.relu(TorchConv(128, 7, padding=3, name="convf1")(flow))
-        flo = nn.relu(TorchConv(64, 3, padding=1, name="convf2")(flo))
+        dt = self.dtype
+        cor = nn.relu(TorchConv(256, 1, dtype=dt, name="convc1")(corr))
+        cor = nn.relu(TorchConv(192, 3, padding=1, dtype=dt, name="convc2")(cor))
+        flo = nn.relu(TorchConv(128, 7, padding=3, dtype=dt, name="convf1")(flow))
+        flo = nn.relu(TorchConv(64, 3, padding=1, dtype=dt, name="convf2")(flo))
         out = nn.relu(
-            TorchConv(126, 3, padding=1, name="conv")(jnp.concatenate([cor, flo], -1))
+            TorchConv(126, 3, padding=1, dtype=dt,
+                      name="conv")(jnp.concatenate([cor, flo], -1))
         )
-        return jnp.concatenate([out, flow], axis=-1)
+        return jnp.concatenate([out, flow.astype(out.dtype)], axis=-1)
 
 
 class SmallMotionEncoder(nn.Module):
@@ -197,23 +204,31 @@ class SmallMotionEncoder(nn.Module):
 
 
 class SepConvGRU(nn.Module):
-    """update.py:33-60: horizontal (1×5) then vertical (5×1) GRU passes."""
+    """update.py:33-60: horizontal (1×5) then vertical (5×1) GRU passes.
+
+    With ``dtype=bf16`` the gate convs compute bf16 while the hidden state
+    update stays f32 (z/q promote against the f32 carry)."""
 
     hidden_dim: int = 128
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, h, x):
         hd = self.hidden_dim
+        dt = self.dtype
         for tag, ks, pad in (("1", (1, 5), (0, 2)), ("2", (5, 1), (2, 0))):
-            hx = jnp.concatenate([h, x], axis=-1)
-            z = nn.sigmoid(TorchConv(hd, ks, padding=pad, name=f"convz{tag}")(hx))
-            r = nn.sigmoid(TorchConv(hd, ks, padding=pad, name=f"convr{tag}")(hx))
+            hx = jnp.concatenate([h.astype(x.dtype), x], axis=-1)
+            z = nn.sigmoid(TorchConv(hd, ks, padding=pad, dtype=dt,
+                                     name=f"convz{tag}")(hx))
+            r = nn.sigmoid(TorchConv(hd, ks, padding=pad, dtype=dt,
+                                     name=f"convr{tag}")(hx))
             q = jnp.tanh(
-                TorchConv(hd, ks, padding=pad, name=f"convq{tag}")(
-                    jnp.concatenate([r * h, x], axis=-1)
+                TorchConv(hd, ks, padding=pad, dtype=dt, name=f"convq{tag}")(
+                    jnp.concatenate([(r * h.astype(r.dtype)), x], axis=-1)
                 )
             )
-            h = (1 - z) * h + z * q
+            h = (1 - z.astype(jnp.float32)) * h + \
+                z.astype(jnp.float32) * q.astype(jnp.float32)
         return h
 
 
@@ -240,15 +255,24 @@ class BasicUpdateBlock(nn.Module):
     """update.py:114-136 (+ 0.25 mask scaling)."""
 
     hidden_dim: int = 128
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, net, inp, corr, flow):
-        motion = BasicMotionEncoder(name="encoder")(flow, corr)
+        dt = self.dtype
+        if dt is not None:
+            inp = inp.astype(dt)
+            corr = corr.astype(dt)
+            flow_c = flow.astype(dt)
+        else:
+            flow_c = flow
+        motion = BasicMotionEncoder(dtype=dt, name="encoder")(flow_c, corr)
         x = jnp.concatenate([inp, motion], axis=-1)
-        net = SepConvGRU(self.hidden_dim, name="gru")(net, x)
-        delta = FlowHead(256, name="flow_head")(net)
-        m = nn.relu(TorchConv(256, 3, padding=1, name="mask_0")(net))
-        mask = 0.25 * TorchConv(64 * 9, 1, name="mask_2")(m)
+        net = SepConvGRU(self.hidden_dim, dtype=dt, name="gru")(net, x)
+        delta = FlowHead(256, dtype=dt, name="flow_head")(net)
+        m = nn.relu(TorchConv(256, 3, padding=1, dtype=dt, name="mask_0")(net))
+        mask = 0.25 * TorchConv(64 * 9, 1, name="mask_2")(
+            m.astype(jnp.float32))
         return net, mask, delta
 
 
@@ -314,6 +338,7 @@ class _IterUpdate(nn.Module):
     small: bool
     radius: int
     pallas_lookup: bool = False
+    update_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, carry, const):
@@ -332,9 +357,10 @@ class _IterUpdate(nn.Module):
         if self.small:
             block = SmallUpdateBlock(96, name="block")
         else:
-            block = BasicUpdateBlock(128, name="block")
+            block = BasicUpdateBlock(128, dtype=self.update_dtype,
+                                     name="block")
         net, mask, delta = block(net, inp, corr, flow)
-        coords1 = coords1 + delta
+        coords1 = coords1 + delta.astype(coords1.dtype)
         if mask is None:
             mask = up_mask  # small model: keep the dummy
         return (net, coords1, mask), (coords1, mask)
@@ -353,6 +379,9 @@ class RAFT(nn.Module):
     # (vst.kernels.pallas_corr; bf16 interpolation multiplies, ~0.2% rel)
     encoder_dtype: Optional[Any] = None  # bf16 fnet/cnet convs (norm stats
     # stay f32; GRU/corr unaffected) — ~2× the encoder cost, see bench notes
+    update_dtype: Optional[Any] = None  # bf16 update-block convs (motion
+    # encoder + GRU gates + flow-head hidden); hidden-state update, delta
+    # output conv and mask conv stay f32
 
     @nn.compact
     def __call__(self, image1, image2,
@@ -406,7 +435,8 @@ class RAFT(nn.Module):
         carry0 = (net, coords1, up_mask0)
         (net, coords1, up_mask), (coords1_all, masks_all) = scan(
             small=self.small, radius=corr_radius,
-            pallas_lookup=self.pallas_lookup, name="update_iter"
+            pallas_lookup=self.pallas_lookup,
+            update_dtype=self.update_dtype, name="update_iter"
         )(carry0, (coords0, inp, pyramid))
 
         flow_low = coords1 - coords0
