@@ -91,15 +91,20 @@ def test_data_parallel_step_matches_single_device():
     # tolerance note: the sharded reduction sums gradients in a different
     # order (psum tree vs single-device loop); Adam's g/(√v̂+ε) rescaling at
     # step 1 (v̂ ≈ 0) turns an f32 non-associativity SIGN flip on a ~0
-    # gradient into a full ±lr update step on that element. Allow isolated
-    # such elements (≤0.2%, bounded by 2·lr); everything else must match.
+    # gradient into a full ±lr update step on that element. True-zero
+    # gradients exist structurally (a conv bias immediately followed by
+    # instance norm has EXACTLY zero gradient, so tiny tensors like the
+    # 32-elem stem bias can flip wholesale) — budget the flips GLOBALLY
+    # (≤0.2% of all params, each bounded by 2·lr); everything else matches.
     lr = 1e-3
+    n_bad = n_tot = 0
     for a, b in zip(l1, l2):
         a, b = np.asarray(a), np.asarray(b)
         close = np.isclose(a, b, rtol=5e-3, atol=2e-4)
-        frac_bad = 1.0 - close.mean()
-        assert frac_bad <= 0.002, f"{frac_bad:.4%} elements differ"
+        n_bad += (~close).sum()
+        n_tot += close.size
         assert np.abs(a - b).max() <= 2 * lr + 1e-6
+    assert n_bad / n_tot <= 0.002, f"{n_bad}/{n_tot} elements differ"
 
 
 @pytest.mark.slow
