@@ -59,7 +59,22 @@ def cmd_train_faststyle(args):
                         batch_size=args.batch_size,
                         n_frames=3 if args.method == "ruder" else 2)
     styles = load_style_images(args.style_dir, size=256)[:max(args.n_styles, 1)]
-    trainer = FastStyleTrainer(cfg, styles, seed=args.seed)
+    pre_style = None
+    if args.pre_style_ckpt:
+        # ruder bootstraps its first frame from a PRETRAINED Johnson/
+        # Dumoulin model (fs_ruder.py:25-34) — load that run's params
+        from vst.core import Checkpointer
+        from vst.models.faststyle import FastStyleNet
+
+        pre_ck = Checkpointer(args.pre_style_ckpt)
+        pre_net = FastStyleNet(n_styles=args.n_styles)
+        import jax as _jax
+
+        tpl = pre_net.init(_jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), 1.0, 0)["params"]
+        pre_style = pre_ck.restore(pre_ck.latest_step(), params=tpl)["params"]
+    trainer = FastStyleTrainer(cfg, styles, seed=args.seed,
+                               pre_style_params=pre_style)
 
     def batches():
         if args.data_dir and args.device_cache:
@@ -649,6 +664,9 @@ def main(argv=None):
                    choices=["johnson", "dumoulin", "huang", "reconet", "ruder"])
     p.add_argument("--n-styles", type=int, default=1)
     p.add_argument("--style-dir", type=str, default=None)
+    p.add_argument("--pre-style-ckpt", type=str, default=None,
+                   help="checkpoint dir of a trained Johnson/Dumoulin run; "
+                        "ruder's first-frame bootstrap (fs_ruder.py:25-34)")
     p.set_defaults(fn=cmd_train_faststyle)
 
     p = sub.add_parser("train-cyclegan")
