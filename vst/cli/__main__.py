@@ -376,11 +376,15 @@ def _make_raft(args):
     from vst.flow.raft import RAFT
 
     on_tpu = jax.default_backend() == "tpu"
+    # bf16 encoders: 285→172 ms per batched fwd+bwd Sintel pair, 0.1% rel
+    # flow delta (update block stays f32 — measured SLOWER in bf16: casts
+    # break the scan-body fusion). Opt-out via --no-raft-bf16 so the metric
+    # instrument can run at reference precision (ADVICE r2).
+    use_bf16 = getattr(args, "raft_bf16", None)
+    if use_bf16 is None:
+        use_bf16 = on_tpu
     raft = RAFT(small=False, iters=args.raft_iters, pallas_lookup=on_tpu,
-                # bf16 encoders: 285→172 ms per batched fwd+bwd Sintel pair,
-                # 0.1% rel flow delta (update block stays f32 — measured
-                # SLOWER in bf16: casts break the scan-body fusion)
-                encoder_dtype=jnp.bfloat16 if on_tpu else None)
+                encoder_dtype=jnp.bfloat16 if use_bf16 else None)
     H, W = args.hw
     img = jnp.zeros((1, H, W, 3), jnp.float32)
     params = raft.init(jax.random.PRNGKey(0), img, img)
@@ -679,6 +683,9 @@ def main(argv=None):
                    help="style id — one model per style (fc2_dataset.py)")
     p.add_argument("--raft-iters", type=int, default=20)
     p.add_argument("--raft-ckpt", type=str, default=None)
+    p.add_argument("--raft-bf16", action=argparse.BooleanOptionalAction,
+                   default=None, help="bf16 RAFT encoders (default: on for "
+                   "TPU; --no-raft-bf16 runs the instrument at reference f32)")
     p.set_defaults(fn=cmd_train_cyclegan)
 
     p = sub.add_parser("train-stargan")
@@ -709,6 +716,9 @@ def main(argv=None):
     p.add_argument("--ckpt-dir", type=str, default=None)
     p.add_argument("--raft-iters", type=int, default=20)
     p.add_argument("--raft-ckpt", type=str, default=None)
+    p.add_argument("--raft-bf16", action=argparse.BooleanOptionalAction,
+                   default=None, help="bf16 RAFT encoders (default: on for "
+                   "TPU; --no-raft-bf16 runs the instrument at reference f32)")
     p.add_argument("--dt-iters", type=int, default=5)
     p.set_defaults(fn=cmd_eval_sintel)
 

@@ -27,14 +27,15 @@ class DeviceFC2Cache:
     """Uploads a DATAFiles-style directory ((1, H, W, 9) float .npy per
     sample: img1 ⊕ img2 ⊕ mask ⊕ backward flow) to the default device once.
 
-    ``sample(step, batch_size)`` returns the dict layout the FastStyle
+    ``sample(batch_size)`` returns the dict layout the FastStyle
     trainers consume (imgs (B, 2, H, W, 3), masks (B, 1, H, W, 1),
     flows (B, 1, H, W, 2)) — already f32, already on device.
     """
 
     def __init__(self, data_dir: str, limit: Optional[int] = None,
                  seed: int = 0, device=None):
-        files = sorted(os.listdir(data_dir))[:limit]
+        files = sorted(f for f in os.listdir(data_dir)
+                       if f.endswith(".npy"))[:limit]
         imgs, masks, flows = [], [], []
         for f in files:
             d = np.load(os.path.join(data_dir, f))[0]
@@ -142,13 +143,15 @@ class DeviceStyledCache:
         """Domain-pair sampling statistics of DatasetFC2
         (data_loader.py:281-288): src/ref drawn over (0, k) pairs."""
         idx = self._rng.randint(0, self.n, size=(batch_size,))
-        # entry kinds (0,0), (0,k), (k,0), (k,k) for k>=1 — the 4-entry
-        # expansion of data_loader.py:281-288, uniform over entries
-        kinds = self._rng.randint(0, 4, size=(batch_size,))
-        k = 1 + self._rng.randint(0, max(self.num_dom - 1, 1),
-                                  size=(batch_size,))
-        src = np.where((kinds == 0) | (kinds == 1), 0, k)
-        ref = np.where((kinds == 0) | (kinds == 2), 0, k)
+        # DatasetFC2 expands each image into 1 + 3(D-1) entries — (0,0) once,
+        # then (0,k), (k,0), (k,k) for every k>=1 (data_loader.py:281-288) —
+        # and samples entries uniformly, so for D>2 the (0,0) kind has weight
+        # 1/(3D-2), not 1/4. Draw an entry index and decode it.
+        e = self._rng.randint(0, 3 * self.num_dom - 2, size=(batch_size,))
+        k = (e - 1) // 3 + 1
+        r = (e - 1) % 3
+        src = np.where(e == 0, 0, np.where(r == 0, 0, k))
+        ref = np.where(e == 0, 0, np.where(r == 1, 0, k))
         return self._sample(jnp.asarray(idx, jnp.int32),
                             jnp.asarray(src, jnp.int32),
                             jnp.asarray(ref, jnp.int32))
