@@ -33,7 +33,7 @@ def test_synthetic_fc2_batch_keys():
 def test_calculate_metrics_end_to_end(tmp_path):
     batches = synthetic_fc2_batches(2, 4, hw=(96, 96), num_dom=3, seed=1)
 
-    def style_fn(x, y, mode, rng):
+    def style_fn(x, y, mode, rng, x_ref):
         # fake generator: per-domain channel shift + style noise keyed on rng
         shift = (y[:, None, None, None].astype(jnp.float32) - 1.0) * 0.1
         noise = 0.02 * jax.random.normal(rng, x.shape)

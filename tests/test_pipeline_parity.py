@@ -1,0 +1,428 @@
+"""PIPELINE-level parity against the LIVING reference benchmark harnesses.
+
+Round-2 closed *net*-level parity (tests/test_reference_parity.py proves the
+converters + forwards match). These tests close the remaining gap — they run
+the reference's OWN eval pipelines end-to-end on torch-CPU and assert the vst
+harnesses produce the same numbers on identical (converted) weights:
+
+  * ``Solver.eval_sintel``      StarGANv2Adv/core/solver.py:268-356 — the
+    living Sintel TCL-ST/TCL-LT harness (computeTCL + RAFT + fbcCheckTorch +
+    warp + save_dict_as_json) vs ``vst.eval.sintel.evaluate_videos``.
+    This measures the BASELINE north-star ("temporal warping error within 1%
+    of the reference") directly against reference code for the first time.
+  * ``calculate_metrics``       utils/metrics/eval.py:71-246 (the Adv vendored
+    copy) — FC2 TCL path in reference mode vs ``vst.eval.fc2``.
+  * ``LPIPS``                   utils/metrics/lpips.py:49-98 with the vendored
+    ``lpips_weights.ckpt`` — function-level, seeded AlexNet backbone.
+  * ``frechet_distance``        utils/metrics/fid.py:56-59 vs vst FID math.
+
+The reference needs torchvision; this image has none, so the stub from
+test_reference_parity is upgraded with FUNCTIONAL ToTensor / Normalize /
+Compose / save_image / models.alexnet implementations (pure data plumbing —
+every metric computation under test runs the reference's own code). CUDA
+calls are neutralized by patching ``torch.Tensor.cuda`` to a no-op; the
+harness itself selects cpu via ``torch.cuda.is_available()``.
+"""
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_reference_parity import (  # noqa: E402
+    REF,
+    _import_ref,
+    _install_stubs,
+    _seed_torch_params,
+)
+
+ADV = "methods/GAN-based/StarGANv2Adv"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available"
+)
+
+
+# ---------------------------------------------------------------------------
+# functional torchvision stubs (data plumbing only)
+# ---------------------------------------------------------------------------
+
+def _install_functional_tv():
+    """Upgrade the inert torchvision stub with working transforms/save_image/
+    alexnet so the reference harness code can actually run."""
+    _install_stubs()
+    tv = sys.modules["torchvision"]
+    tr = sys.modules["torchvision.transforms"]
+    ut = sys.modules["torchvision.utils"]
+    md = sys.modules["torchvision.models"]
+
+    class ToTensor:
+        def __call__(self, pic):
+            arr = np.asarray(pic, dtype=np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            return torch.from_numpy(arr.transpose(2, 0, 1).copy())
+
+    class Normalize:
+        def __init__(self, mean, std):
+            self.mean = torch.tensor(mean).view(-1, 1, 1)
+            self.std = torch.tensor(std).view(-1, 1, 1)
+
+        def __call__(self, t):
+            return (t - self.mean) / self.std
+
+    class Compose:
+        def __init__(self, ts):
+            self.ts = ts
+
+        def __call__(self, x):
+            for t in self.ts:
+                x = t(x)
+            return x
+
+    def save_image(tensor, filename=None, nrow=1, padding=0, **kw):
+        from PIL import Image
+
+        x = tensor.detach().cpu().numpy()
+        if x.ndim == 4:
+            x = x[0]
+        x = np.clip(x.transpose(1, 2, 0) * 255.0, 0, 255).astype(np.uint8)
+        Image.fromarray(x).save(filename)
+
+    def alexnet(pretrained=False, **kw):
+        """torchvision alexnet.features architecture with DETERMINISTIC
+        seeded weights (no pretrained blobs in this image; both sides of the
+        parity test consume the same state dict)."""
+        import torch.nn as nn
+
+        feats = nn.Sequential(
+            nn.Conv2d(3, 64, 11, 4, 2), nn.ReLU(inplace=True),
+            nn.MaxPool2d(3, 2),
+            nn.Conv2d(64, 192, 5, 1, 2), nn.ReLU(inplace=True),
+            nn.MaxPool2d(3, 2),
+            nn.Conv2d(192, 384, 3, 1, 1), nn.ReLU(inplace=True),
+            nn.Conv2d(384, 256, 3, 1, 1), nn.ReLU(inplace=True),
+            nn.Conv2d(256, 256, 3, 1, 1), nn.ReLU(inplace=True),
+            nn.MaxPool2d(3, 2),
+        )
+        _seed_torch_params(feats, seed=99)
+        return types.SimpleNamespace(features=feats)
+
+    tr.ToTensor = ToTensor
+    tr.Normalize = Normalize
+    tr.Compose = Compose
+    ut.save_image = save_image
+    md.alexnet = alexnet
+    return tv
+
+
+def _adv_paths():
+    return [os.path.join(REF, ADV, "raft"), os.path.join(REF, ADV)]
+
+
+def _import_adv(module_name):
+    return _import_ref(module_name, ADV, ADV + "/raft")
+
+
+@pytest.fixture
+def no_cuda(monkeypatch):
+    """The reference pins `.cuda()` in a few spots (lpips mu/sigma, eval.py
+    warp grid); neutralize on this CUDA-less image."""
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+
+
+def _seeded_sg2_nets(munch_mod):
+    """Reference SG2 nets with the converter-tested seeds
+    (test_reference_parity.py) at img_size=64."""
+    model = _import_adv("core.model")
+    G = _seed_torch_params(
+        model.Generator(img_size=64, style_dim=64, w_hpf=0), seed=40)
+    M = _seed_torch_params(
+        model.MappingNetwork(latent_dim=16, style_dim=64, num_domains=4),
+        seed=41)
+    E = _seed_torch_params(
+        model.StyleEncoder(img_size=64, style_dim=64, num_domains=4), seed=42)
+    return munch_mod.Munch(generator=G, mapping_network=M, style_encoder=E)
+
+
+def _vst_sg2_params(nets):
+    from vst.models.stargan2 import (
+        generator_params_from_torch,
+        mapping_params_from_torch,
+        style_encoder_params_from_torch,
+    )
+
+    return {
+        "generator": generator_params_from_torch(
+            nets.generator.state_dict(), img_size=64),
+        "mapping": mapping_params_from_torch(
+            nets.mapping_network.state_dict()),
+        "style_enc": style_encoder_params_from_torch(
+            nets.style_encoder.state_dict(), img_size=64),
+    }
+
+
+def _write_video(dirpath, n_frames, h, w, seed):
+    """Smooth-ish moving texture so RAFT/TCL see structured motion."""
+    from PIL import Image
+
+    os.makedirs(dirpath, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    base = rng.rand(h * 2, w * 2, 3)
+    # blur for spatial coherence
+    k = 9
+    ker = np.ones(k) / k
+    for ax in (0, 1):
+        base = np.apply_along_axis(
+            lambda m: np.convolve(m, ker, mode="same"), ax, base)
+    base = (base - base.min()) / (np.ptp(base) + 1e-9)
+    for i in range(n_frames):
+        dy, dx = 3 * i, 5 * i
+        crop = base[dy:dy + h, dx:dx + w]
+        Image.fromarray((crop * 255).astype(np.uint8)).save(
+            os.path.join(dirpath, f"frame_{i:04d}.png"))
+
+
+# ---------------------------------------------------------------------------
+# 1. Sintel TCL harness — Solver.eval_sintel vs vst.eval.sintel
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_sintel_eval_pipeline_parity_sg2(tmp_path, monkeypatch, no_cuda):
+    _install_functional_tv()
+    solver_mod = _import_adv("core.solver")
+    munch = sys.modules["munch"]
+
+    nets = _seeded_sg2_nets(munch)
+
+    # reference RAFT with seeded weights (raft-chairs.pth is a missing blob;
+    # identical weights flow through the parity-tested converter below)
+    import argparse
+
+    raft_args = argparse.Namespace(
+        small=False, dropout=0.0, alternate_corr=False, mixed_precision=False)
+    raft_mod = _import_adv("raft.raft")
+    traft = _seed_torch_params(raft_mod.RAFT(raft_args), seed=30)
+
+    # ---- drive the reference harness (its own code, torch-CPU) ----
+    n_frames, H, W = 7, 128, 160
+    sintel = tmp_path / "sintel"
+    _write_video(str(sintel / "training" / "final" / "alley_x"),
+                 n_frames, H, W, seed=7)
+    os.makedirs(sintel / "test" / "final", exist_ok=True)
+
+    # solver.py binds sintel_eval names into its own namespace — patch there
+    monkeypatch.setattr(solver_mod, "initRaftModel", lambda args: traft)
+    # computeTCL resolves fbcCheckTorch in the sintel_eval module globals;
+    # its device="cuda" DEFAULT needs cpu rebinding (plumbing only)
+    se_mod = sys.modules["sintel_eval"]
+    orig_fbc = se_mod.fbcCheckTorch
+    monkeypatch.setattr(se_mod, "fbcCheckTorch",
+                        lambda ff, bf: orig_fbc(ff, bf, device="cpu"))
+    monkeypatch.chdir(tmp_path)
+
+    fake_self = types.SimpleNamespace(
+        args=munch.Munch(latent_dim=16, resume_iter=0),
+        nets_ema=nets,
+        _load_checkpoint=lambda step: None,
+    )
+    torch.manual_seed(123)  # z_trg draws: one per (video, style)
+    solver_mod.Solver.eval_sintel(fake_self, sintel_dir=str(sintel))
+
+    out = tmp_path / "expr" / "sintel_eval"
+    ref_st = json.load(open(out / "TCL-ST.json"))
+    ref_lt = json.load(open(out / "TCL-LT.json"))
+
+    # ---- same weights through the vst pipeline ----
+    torch.manual_seed(123)
+    zs = [torch.randn(1, 16).numpy() for _ in range(3)]
+
+    from vst.flow.raft import RAFT, raft_params_from_torch
+    from vst.models.stargan2 import Generator, MappingNetwork
+    from vst.eval.sintel import evaluate_videos, load_sintel_videos
+
+    raft = RAFT(small=False, iters=20)
+    raft_params = {"params": raft_params_from_torch(traft.state_dict())}
+    params = _vst_sg2_params(nets)
+    G = Generator(img_size=64, style_dim=64, w_hpf=0)
+    F = MappingNetwork(latent_dim=16, style_dim=64, num_domains=4)
+
+    def stylize_fn(img, style):
+        y, z = style
+        s = F.apply({"params": params["mapping"]}, z, jnp.asarray([y]))
+        return G.apply({"params": params["generator"]}, img, s)
+
+    videos = load_sintel_videos(str(sintel))
+    assert len(videos) == 1 and len(videos[0]) == n_frames
+    styles = [(y, zs[y - 1]) for y in (1, 2, 3)]
+    res = evaluate_videos(
+        videos, stylize_fn, lambda a, b: raft.apply(raft_params, a, b),
+        styles=styles, frame_transform=lambda f: f * 2.0 - 1.0,
+        num_domains=4, dt_iters=1)
+
+    # per-key + aggregate parity within 1% (the BASELINE north-star bound)
+    for out_id, ref_d in (("TCL-ST", ref_st), ("TCL-LT", ref_lt)):
+        got_d = res[out_id]
+        for key, ref_v in ref_d.items():
+            assert key in got_d, f"missing {key}"
+            got_v = got_d[key]
+            rel = abs(got_v - ref_v) / max(abs(ref_v), 1e-9)
+            assert rel < 0.01, (key, got_v, ref_v, rel)
+
+
+# ---------------------------------------------------------------------------
+# 2. FC2 metric harness — metrics/eval.py calculate_metrics vs vst.eval.fc2
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_fc2_calculate_metrics_pipeline_parity(tmp_path, monkeypatch, no_cuda):
+    _install_functional_tv()
+    eval_mod = _import_adv("metrics.eval")
+    munch = sys.modules["munch"]
+
+    nets = _seeded_sg2_nets(munch)
+    nets.fan = None  # w_hpf=0 → never touched
+
+    # tiny deterministic eval set: tasks style0<->style{1,2}
+    rng = np.random.RandomState(11)
+    N, Hs = 4, 64
+    batches_t = []
+    y_pairs = [([0, 0, 1, 2], [1, 2, 0, 0]), ([0, 2, 0, 1], [2, 0, 1, 0])]
+    for bi, (y_org, y_trg) in enumerate(y_pairs):
+        x_real = torch.from_numpy(
+            (rng.rand(N, 3, Hs, Hs) * 2 - 1).astype(np.float32))
+        x_real2 = torch.from_numpy(
+            (rng.rand(N, 3, Hs, Hs) * 2 - 1).astype(np.float32))
+        x_ref = torch.from_numpy(
+            (rng.rand(N, 3, Hs, Hs) * 2 - 1).astype(np.float32))
+        mask = torch.from_numpy(
+            (rng.rand(N, 1, Hs, Hs) > 0.2).astype(np.float32))
+        flow = torch.from_numpy(
+            (rng.rand(N, 2, Hs, Hs) * 4 - 2).astype(np.float32))
+        batches_t.append((x_real, x_real2, torch.tensor(y_org),
+                          x_ref, torch.tensor(y_trg), mask, flow))
+
+    style_dir = tmp_path / "styles"
+    for d in range(3):
+        os.makedirs(style_dir / f"style{d}", exist_ok=True)
+    eval_dir = tmp_path / "eval_ref"
+    os.makedirs(eval_dir, exist_ok=True)
+    os.symlink(os.path.join(REF, ADV, "metrics"), tmp_path / "metrics")
+    monkeypatch.chdir(tmp_path)
+
+    # inception needs pretrained torchvision blobs → FID is patched to a
+    # constant on the torch side (the Fréchet math itself is parity-tested
+    # below); load_image is re-bound to cpu (plumbing only)
+    monkeypatch.setattr(eval_mod, "calculate_fid_given_paths",
+                        lambda paths, img_size, batch_size: 0.0)
+    orig_load = eval_mod.load_image
+    monkeypatch.setattr(eval_mod, "load_image",
+                        lambda p: orig_load(p, device="cpu"))
+
+    args = munch.Munch(
+        style_dir=str(style_dir), eval_dir=str(eval_dir), latent_dim=16,
+        num_outs_per_domain=2, w_hpf=0, img_size=Hs, val_batch_size=N)
+    eval_mod.calculate_metrics(nets, args, step=0, mode="reference",
+                               eval_loader=batches_t)
+    ref_tcl = json.load(open(eval_dir / "TCL_00000_reference.json"))
+    ref_lpips = json.load(open(eval_dir / "LPIPS_00000_reference.json"))
+
+    # ---- vst side on identical weights + batches ----
+    from vst.eval.fc2 import calculate_metrics as vst_metrics
+    from vst.metrics.lpips import LPIPS
+    from vst.models.stargan2 import Generator, StyleEncoder
+
+    params = _vst_sg2_params(nets)
+    G = Generator(img_size=64, style_dim=64, w_hpf=0)
+    E = StyleEncoder(img_size=64, style_dim=64, num_domains=4)
+
+    def style_fn(x, y, mode, rng_, x_ref):
+        s = E.apply({"params": params["style_enc"]}, x_ref, y)
+        return G.apply({"params": params["generator"]}, x, s)
+
+    def nhwc(t):
+        return np.ascontiguousarray(
+            t.numpy().transpose(0, 2, 3, 1)).astype(np.float32)
+
+    batches_v = [
+        {"x_src": nhwc(b[0]), "x2_src": nhwc(b[1]), "y_src": b[2].numpy(),
+         "x_ref": nhwc(b[3]), "y_ref": b[4].numpy(), "mask": nhwc(b[5]),
+         "flow": nhwc(b[6])}
+        for b in batches_t
+    ]
+    tv_md = sys.modules["torchvision.models"]
+    alex_sd = {f"features.{k}": v
+               for k, v in tv_md.alexnet().features.state_dict().items()}
+    res = vst_metrics(
+        style_fn, batches_v, num_domains=3, mode="reference",
+        num_outs_per_domain=2, lpips=LPIPS(alexnet_sd=alex_sd))
+
+    for key, ref_v in ref_tcl.items():
+        got_v = res["TCL"][key]
+        rel = abs(got_v - ref_v) / max(abs(ref_v), 1e-9)
+        assert rel < 0.01, (key, got_v, ref_v)
+    # reference mode → all num_outs fakes identical → pairwise LPIPS ≡ 0;
+    # the comparison still proves both pipelines assemble the same chunks
+    for key, ref_v in ref_lpips.items():
+        got_v = res["LPIPS"][key]
+        assert abs(got_v - ref_v) < 1e-4, (key, got_v, ref_v)
+
+
+# ---------------------------------------------------------------------------
+# 3. LPIPS function parity (vendored lpips_weights.ckpt, seeded backbone)
+# ---------------------------------------------------------------------------
+
+def test_lpips_function_parity(tmp_path, monkeypatch, no_cuda):
+    _install_functional_tv()
+    lpips_mod = _import_adv("metrics.lpips")
+
+    os.symlink(os.path.join(REF, ADV, "metrics"), tmp_path / "metrics")
+    monkeypatch.chdir(tmp_path)
+
+    rng = np.random.RandomState(3)
+    x = (rng.rand(2, 3, 64, 64) * 2 - 1).astype(np.float32)
+    y = (rng.rand(2, 3, 64, 64) * 2 - 1).astype(np.float32)
+
+    ref_lpips = lpips_mod.LPIPS().eval()
+    with torch.no_grad():
+        want = float(ref_lpips(torch.from_numpy(x), torch.from_numpy(y)))
+
+    from vst.metrics.lpips import LPIPS
+
+    tv_md = sys.modules["torchvision.models"]
+    alex_sd = {f"features.{k}": v
+               for k, v in tv_md.alexnet().features.state_dict().items()}
+    vst_lpips = LPIPS(alexnet_sd=alex_sd)
+    got = vst_lpips(x.transpose(0, 2, 3, 1), y.transpose(0, 2, 3, 1))
+    assert abs(got - want) / max(abs(want), 1e-9) < 0.01, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# 4. Fréchet-distance math parity
+# ---------------------------------------------------------------------------
+
+def test_frechet_distance_parity():
+    _install_functional_tv()
+    fid_mod = _import_adv("metrics.fid")
+
+    from vst.metrics.fid import frechet_distance
+
+    rng = np.random.RandomState(5)
+    d = 16
+    mu1, mu2 = rng.randn(d), rng.randn(d)
+    a1, a2 = rng.randn(d, d), rng.randn(d, d)
+    cov1 = a1 @ a1.T / d + np.eye(d) * 0.1
+    cov2 = a2 @ a2.T / d + np.eye(d) * 0.1
+
+    want = fid_mod.frechet_distance(mu1, cov1, mu2, cov2)
+    got = frechet_distance(mu1, cov1, mu2, cov2)
+    assert abs(got - want) / max(abs(want), 1e-9) < 1e-6, (got, want)

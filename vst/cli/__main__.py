@@ -507,12 +507,12 @@ def cmd_eval_fc2(args):
         map_fn = jax.jit(lambda p, z, y: trainer.F.apply({"params": p}, z, y))
         enc_fn = jax.jit(lambda p, x, y: trainer.E.apply({"params": p}, x, y))
 
-        def style_fn(x, y, mode, rng):
+        def style_fn(x, y, mode, rng, x_ref):
             if mode == "latent":
                 z = jax.random.normal(rng, (x.shape[0], cfg.latent_dim))
                 s = map_fn(params["mapping"], z, y)
-            else:  # reference mode: style code from the source pile itself
-                s = enc_fn(params["style_enc"], x, y)
+            else:  # reference mode: style code from x_ref (eval.py:128)
+                s = enc_fn(params["style_enc"], x_ref, y)
             return gen(params["generator"], x, s)
 
     elif args.family == "stargan":
@@ -529,7 +529,7 @@ def cmd_eval_fc2(args):
                 g_params = ckpt.restore(step, G=state.g_params)["G"]
         gen = jax.jit(lambda x, c: trainer.G.apply({"params": g_params}, x, c))
 
-        def style_fn(x, y, mode, rng):
+        def style_fn(x, y, mode, rng, x_ref):
             return gen(x, jax.nn.one_hot(y, num_dom))
 
     elif args.family == "faststyle":
@@ -554,7 +554,7 @@ def cmd_eval_fc2(args):
         net = jax.jit(lambda x, sid: trainer.model.apply(
             {"params": params}, x, 1.0, sid)[1])
 
-        def style_fn(x, y, mode, rng):
+        def style_fn(x, y, mode, rng, x_ref):
             # LBST pipeline is [0,1]→[0,255]; harness speaks [−1,1]
             x01 = (x + 1.0) / 2.0
             sid = jnp.clip(y[0] - 1, 0, None)

@@ -44,9 +44,12 @@ def calculate_metrics(
     rng_seed: int = 0,
     quantize_like_png: bool = True,
 ):
-    """style_fn(x_real, y_trg, mode, rng) → x_fake for the model under test
-    (StarGAN-v2 closes over mapping-network/style-encoder; per-style models
-    dispatch on y_trg). Batch dict keys follow vst.data.fc2.BATCH_KEYS.
+    """style_fn(x_real, y_trg, mode, rng, x_ref) → x_fake for the model under
+    test (StarGAN-v2 closes over mapping-network/style-encoder; per-style
+    models dispatch on y_trg). In ``reference`` mode the style code must come
+    from ``x_ref`` (``utils/metrics/eval.py:128``), which is why the batch's
+    reference pile is threaded through. Batch dict keys follow
+    vst.data.fc2.BATCH_KEYS.
     """
     assert mode in ("latent", "reference")
     inception = inception or InceptionV3(seed=0)
@@ -81,10 +84,11 @@ def calculate_metrics(
         x_ref = np.asarray(batch["x_ref"])
         N = x_real.shape[0]
 
+        x_ref_dev = jnp.asarray(batch["x_ref"])
         for j in range(num_outs_per_domain):
             rng, sub = jax.random.split(rng)
-            x_fake = style_fn(x_real, jnp.asarray(y_trg), mode, sub)
-            x_fake2 = style_fn(x_real2, jnp.asarray(y_trg), mode, sub)
+            x_fake = style_fn(x_real, jnp.asarray(y_trg), mode, sub, x_ref_dev)
+            x_fake2 = style_fn(x_real2, jnp.asarray(y_trg), mode, sub, x_ref_dev)
             tcl = np.asarray(tcl_batch(x_fake, x_fake2, mask, flow))
             xf = np.asarray(x_fake)
             if quantize_like_png:
