@@ -81,3 +81,55 @@ def test_raft_pallas_lookup_flow_close():
     _, f_fast = r_fast.apply(p, i1, i2)
     err = float(jnp.abs(f_exact - f_fast).max())
     assert err < 0.05, err
+
+
+@pytest.mark.parametrize("H,W,C", [
+    (40, 128, 128),   # 3 row tiles: first/interior/tail branches all hit
+    (16, 128, 128),   # single-tile grid (n_tiles == 1 branch)
+    (109, 256, 128),  # the production Johnson trunk shape
+])
+def test_pallas_conv3x3_reflect_exact(H, W, C):
+    """Fused pad+conv must match reflect_pad∘conv∘+bias exactly (f32:
+    same tap order, f32 accumulation)."""
+    from vst.kernels.pallas_conv import conv3x3_reflect, conv3x3_reflect_ref
+
+    rng = np.random.RandomState(H + W)
+    x = jnp.asarray(rng.randn(1, H, W, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+    got = conv3x3_reflect(x, w, b)
+    ref = conv3x3_reflect_ref(x, w, b)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_fast_stylize_pallas_trunk_matches_reference_forward():
+    """At a b1 shape that passes res_chain_wants_pallas, fast_stylize's
+    Pallas trunk must still reproduce FastStyleNet.apply."""
+    from vst.models.faststyle import FastStyleNet
+    from vst.models.faststyle_fast import fast_stylize
+    from vst.kernels.pallas_conv import res_chain_wants_pallas
+
+    import os
+
+    # reference forward OUTSIDE the opt-in scope → pure-XLA path
+    m = FastStyleNet(n_styles=1)
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(1, 192, 512, 3).astype(np.float32))
+    p = m.init(jax.random.PRNGKey(1), x, 1.0, 0)["params"]
+    f_ref, y_ref = m.apply({"params": p}, x, 1.0, 0)
+
+    os.environ["VST_PALLAS_CONV"] = "1"
+    try:
+        # trunk shape check: (1, 48, 128, 128) engages the kernel
+        assert res_chain_wants_pallas(
+            jnp.zeros((1, 48, 128, 128)), jnp.zeros((3, 3, 128, 128)))
+        f_fast, y_fast = fast_stylize(p, x, 1.0, 0, n_styles=1)
+        np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(f_fast), np.asarray(f_ref),
+                                   rtol=1e-4, atol=1e-3)
+    finally:
+        del os.environ["VST_PALLAS_CONV"]

@@ -1,0 +1,196 @@
+"""Pallas fused reflect-pad + conv kernels (NHWC, natural layout).
+
+Round-2 measurement (NOTES_ROUND2.md, commit a7d0311): the s2d res-chain
+rewrite is 1.74× faster than XLA's natural-layout convs *if padding is
+free*, but the phase-permuted reflect-pad gathers in XLA erase the entire
+gain — XLA materializes the pad concats in HBM. Inside a Pallas kernel the
+pad rows arrive by reflect-indexed row DMA, the pad columns are built as a
+register value, and the k×k conv is k² tap matmuls with exact FLOPs; for
+the FastStyleNet residual trunk (C = C_out = 128) each tap is a
+(R·W, 128)×(128, 128) matmul that tiles the MXU exactly.
+
+Mosaic constraints discovered on v5e (scripts/bisect_bf16_pallas.py):
+* DMA targets must be sublane-aligned — copy full (1, W, C) rows into an
+  UNPADDED (R+2, W, C) scratch (offset-1 column slices of a padded scratch
+  fail to compile for bf16).
+* Build the column pad as a VALUE (concatenate) — in-place scratch stores
+  at odd sublane offsets don't lower.
+* Tap slices must be static (dynamic_slice on values is not lowered).
+
+Reference: the torch forward pads with ``nn.ReflectionPad2d`` before every
+conv (methods/learning-based/network.py:147-170); parity is bitwise-exact
+tap placement with f32 accumulation (rel err 0.0 vs the XLA path at f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _reflect_row_index(r, H):
+    # torch ReflectionPad2d: row −1 → 1, row H → H−2
+    return jnp.where(r < 0, -r, jnp.where(r >= H, 2 * H - 2 - r, r))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3_reflect(x, w, b, row_tile: int = 16, interpret: bool = False):
+    """y = conv3x3(reflect_pad1(x)) + b for x (1, H, W, C) NHWC.
+
+    w: (3, 3, C, C_out); f32 accumulation; output dtype = x.dtype.
+    Grid over row tiles; each step DMAs its rows + 1-row halo from HBM
+    (reflect row indices — boundary tiles re-read interior rows) and
+    builds the reflect column pad in registers.
+    """
+    if jax.default_backend() == "cpu":
+        interpret = True  # Mosaic is TPU-only; CPU tests run interpreted
+    _, H, W, C = x.shape
+    C_out = w.shape[-1]
+    R = row_tile
+    n_tiles = pl.cdiv(H, R)
+
+    last = n_tiles - 1
+    body_last = max(0, H - (last * R - 1))  # contiguous rows of the last tile
+
+    def kernel(x_hbm, w_ref, b_ref, y_ref, xbuf, sem):
+        t = pl.program_id(0)
+        r0 = t * R
+
+        # DMA cost on v5e is ~1.4 µs PER DESCRIPTOR regardless of size
+        # (measured, scripts/bisect_kernel_cost.py: 126 row-DMAs = 0.18 ms
+        # while the conv math is 0.04 ms) — so copy each tile's halo'd row
+        # span in ONE contiguous DMA and patch the reflect boundary rows
+        # with at most a handful of extra row copies on the first/last tile.
+        def copies():
+            cps = []
+            if n_tiles == 1:
+                cps.append(pltpu.make_async_copy(
+                    x_hbm.at[0, pl.ds(0, H)], xbuf.at[pl.ds(1, H)], sem))
+                cps.append(pltpu.make_async_copy(
+                    x_hbm.at[0, pl.ds(1, 1)], xbuf.at[pl.ds(0, 1)], sem))
+                for i in range(H + 1, R + 2):
+                    src = min(2 * H - 2 - (i - 1), H - 1)
+                    cps.append(pltpu.make_async_copy(
+                        x_hbm.at[0, pl.ds(src, 1)], xbuf.at[pl.ds(i, 1)],
+                        sem))
+                return [("all", cps)]
+            first = [
+                pltpu.make_async_copy(
+                    x_hbm.at[0, pl.ds(0, R + 1)], xbuf.at[pl.ds(1, R + 1)],
+                    sem),
+                pltpu.make_async_copy(
+                    x_hbm.at[0, pl.ds(1, 1)], xbuf.at[pl.ds(0, 1)], sem),
+            ]
+            interior = [pltpu.make_async_copy(
+                x_hbm.at[0, pl.ds(r0 - 1, R + 2)], xbuf, sem)]
+            tail = [pltpu.make_async_copy(
+                x_hbm.at[0, pl.ds(last * R - 1, body_last)],
+                xbuf.at[pl.ds(0, body_last)], sem)]
+            for i in range(body_last, R + 2):
+                src = 2 * H - 2 - (last * R - 1 + i)  # reflect, static
+                tail.append(pltpu.make_async_copy(
+                    x_hbm.at[0, pl.ds(src, 1)], xbuf.at[pl.ds(i, 1)], sem))
+            return [("first", first), ("interior", interior), ("tail", tail)]
+
+        groups = copies()
+        if len(groups) == 1:
+            for cp in groups[0][1]:
+                cp.start()
+            for cp in groups[0][1]:
+                cp.wait()
+        else:
+            conds = {"first": t == 0,
+                     "interior": jnp.logical_and(t > 0, t < last),
+                     "tail": t == last}
+            for name, cps in groups:
+                @pl.when(conds[name])
+                def _():
+                    for cp in cps:
+                        cp.start()
+                    for cp in cps:
+                        cp.wait()
+        xv = xbuf[...]
+        xp = jnp.concatenate([xv[:, 1:2], xv, xv[:, W - 2:W - 1]], axis=1)
+
+        acc = jnp.zeros((R * W, C_out), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = xp[dy:dy + R, dx:dx + W]
+                acc = acc + jax.lax.dot_general(
+                    tap.reshape(R * W, C), w_ref[dy, dx],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        y = acc + b_ref[...].astype(jnp.float32)
+        y_ref[...] = y.reshape(1, R, W, C_out).astype(y_ref.dtype)
+
+    Hp = n_tiles * R  # grid-padded output rows (cropped after)
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R, W, C_out), lambda t: (0, t, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, Hp, W, C_out), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R + 2, W, C), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x, w.astype(x.dtype), b.astype(x.dtype))
+    return y[:, :H]
+
+
+def res_chain_wants_pallas(x, w):
+    """The fused kernel beats XLA for the b1 inference trunk shape:
+    single image, C = C_out, lane-aligned W, enough rows to tile. Training
+    batches keep the XLA path (the kernel is written for B = 1; batched
+    convs amortize pad gathers over the batch anyway).
+    OPT-IN (VST_PALLAS_CONV=1): in ISOLATION the fused kernel beats the
+    XLA conv by ~20% (0.19-0.21 vs 0.24-0.26 ms at the Johnson trunk
+    shape, scripts/bench_pallas_conv.py), but dropped into the full net it
+    LOSES ~1 ms (scripts/ab_b1.py): each pallas_call is a fusion barrier,
+    so the IN/relu/residual elementwise work between convs stops fusing
+    into the conv programs and pays extra HBM round trips. Until the
+    res-block epilogue is fused INTO the kernel, the net keeps XLA."""
+    import os
+
+    if os.environ.get("VST_PALLAS_CONV") != "1":
+        return False
+    _, H, W, C = x.shape
+    return (x.shape[0] == 1 and w.shape[2] == C and w.shape[3] == C
+            and C % 128 == 0 and W % 128 == 0 and H >= 48)
+
+
+def _conv3x3_reflect_fwd(x, w, b, row_tile, interpret):
+    return conv3x3_reflect(x, w, b, row_tile, interpret), (x, w, b)
+
+
+def _conv3x3_reflect_bwd(row_tile, interpret, res, g):
+    # backward through the mathematically identical XLA path — the kernel
+    # is forward-fused for b1 inference; training graphs are batched and
+    # never hit it, but grads must still be correct if one does
+    x, w, b = res
+    _, vjp = jax.vjp(conv3x3_reflect_ref, x, w, b)
+    return vjp(g)
+
+
+conv3x3_reflect.defvjp(_conv3x3_reflect_fwd, _conv3x3_reflect_bwd)
+
+
+def conv3x3_reflect_ref(x, w, b):
+    """XLA reference implementation (what the model previously ran)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        xp, w.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b.astype(x.dtype)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from vst.kernels.layout import (
     s2d, d2s, s2d_conv_general, instance_norm_s2d, nearest_up2_s2d,
 )
+from vst.kernels.pallas_conv import conv3x3_reflect, res_chain_wants_pallas
 from vst.ops.image import reflect_pad
 from vst.nn.norm import instance_norm
 
@@ -82,21 +83,31 @@ def fast_stylize(params, x, style_strength=1.0, style_id=0,
     scale, bias = _norm_affine(params, 2, n_styles, style_id)
     h = jax.nn.relu(instance_norm(h) * scale + bias)
 
-    # residual blocks (natural layout, ¼ res)
+    # residual blocks (natural layout, ¼ res); at b1 the reflect-pad+conv
+    # runs as the fused Pallas kernel (pad rows/cols built in VMEM — XLA
+    # materializes the pad concats in HBM, which erases the trunk's MXU
+    # tiling advantage; see vst/kernels/pallas_conv.py)
+    w_probe, _ = _conv_w(params["ResidualBlock_0"], "ConvLayer_0",
+                         "TorchConv_0")
+    use_pallas = res_chain_wants_pallas(h, w_probe)
+
+    def trunk_conv(v, w, b):
+        if use_pallas:
+            return conv3x3_reflect(v, w, b)
+        return jax.lax.conv_general_dilated(
+            reflect_pad(v, 1), w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
     for i in range(5):
         blk = params[f"ResidualBlock_{i}"]
         strength = style_strength * blk["layer_strength"]
         strength = 2.0 * jnp.abs(strength) / (1.0 + jnp.abs(strength))
         w1, b1 = _conv_w(blk, "ConvLayer_0", "TorchConv_0")
         w2, b2 = _conv_w(blk, "ConvLayer_1", "TorchConv_0")
-        y = jax.lax.conv_general_dilated(
-            reflect_pad(h, 1), w1, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b1
+        y = trunk_conv(h, w1, b1)
         y = instance_norm(y) * blk["InstanceNorm_0"]["scale"] + blk["InstanceNorm_0"]["bias"]
         y = jax.nn.relu(y)
-        y = jax.lax.conv_general_dilated(
-            reflect_pad(y, 1), w2, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b2
+        y = trunk_conv(y, w2, b2)
         y = instance_norm(y) * blk["InstanceNorm_1"]["scale"] + blk["InstanceNorm_1"]["bias"]
         h = strength * y + h
 
