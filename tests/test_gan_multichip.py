@@ -148,3 +148,54 @@ def test_stargan2_r1_dp_step_matches_single_device():
     np.testing.assert_allclose(float(mg1["adv"]), float(mg2["adv"]),
                                rtol=2e-4)
     _params_close(g1.params["generator"], g2.params["generator"], lr=cfg.lr)
+
+
+@pytest.mark.slow
+def test_stargan2_bf16_policy_step_close_to_f32():
+    """compute_dtype='bfloat16' (vst/train/policy.py): master params f32,
+    conv path bf16, loss reductions f32 — the first D and G steps must land
+    near the f32 steps (bf16 matmul noise only)."""
+    from vst.train.stargan2 import StarGAN2Config, StarGAN2Trainer
+
+    kw = dict(img_size=32, style_dim=8, latent_dim=4, num_domains=3,
+              max_conv_dim=32, lambda_tcl=100.0)
+    x = _rand(4, 4, 32, 32, 3)
+    batch = {
+        "x_real": x, "x_real2": _rand(5, 4, 32, 32, 3),
+        "x_ref": _rand(6, 4, 32, 32, 3),
+        "y_org": jnp.asarray([0, 1, 2, 0]), "y_trg": jnp.asarray([1, 2, 0, 2]),
+        "mask": jnp.ones((4, 32, 32, 1)), "flow": jnp.zeros((4, 32, 32, 2)),
+    }
+    results = {}
+    for name, cdt in (("f32", None), ("bf16", "bfloat16")):
+        tr = StarGAN2Trainer(StarGAN2Config(compute_dtype=cdt, **kw))
+        state = tr.init_state(0)
+        state, m = tr.train_iteration(state, batch, jax.random.PRNGKey(0))
+        results[name] = {k: float(v) for k, v in m.items()}
+        assert all(np.isfinite(v) for v in results[name].values())
+    for k in ("D/latent_real", "D/latent_reg", "G/latent_adv",
+              "G/latent_cyc", "G/latent_tcl"):
+        a, b = results["f32"][k], results["bf16"][k]
+        assert abs(a - b) <= 0.05 * (abs(a) + 0.05), (k, a, b)
+
+
+@pytest.mark.slow
+def test_cyclegan_bf16_policy_step_close_to_f32():
+    from vst.models.cyclegan import ResnetGenerator
+    from vst.train.cyclegan import CycleGANConfig, CycleGANTrainer
+
+    batch = {"real_A": _rand(7, 4, 32, 32, 3), "real_B": _rand(8, 4, 32, 32, 3)}
+    results = {}
+    for name, cdt in (("f32", None), ("bf16", "bfloat16")):
+        cfg = CycleGANConfig(variant="cyclegan", ngf=8, ndf=8, pool_size=4,
+                             steps_per_epoch=10, compute_dtype=cdt)
+        tr = CycleGANTrainer(cfg, image_hw=(32, 32))
+        tr.G_A = ResnetGenerator(3, 8, 2)
+        tr.G_B = ResnetGenerator(3, 8, 2)
+        state = tr.init_state(0)
+        state, m = tr.train_step()(state, batch, jax.random.PRNGKey(0))
+        results[name] = {k: float(v) for k, v in m.items()}
+        assert all(np.isfinite(v) for v in results[name].values())
+    for k in ("G", "cycle_A", "cycle_B", "D_A", "D_B"):
+        a, b = results["f32"][k], results["bf16"][k]
+        assert abs(a - b) <= 0.05 * (abs(a) + 0.05), (k, a, b)

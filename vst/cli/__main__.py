@@ -134,7 +134,8 @@ def cmd_train_cyclegan(args):
     if args.variant in ("mogan", "congan"):
         raft_apply = _make_raft(args)
     cfg = CycleGANConfig(variant=args.variant, ngf=args.ngf, ndf=args.ndf,
-                         steps_per_epoch=max(args.steps // 2, 1))
+                         steps_per_epoch=max(args.steps // 2, 1),
+                         compute_dtype=args.compute_dtype)
     trainer = CycleGANTrainer(cfg, image_hw=tuple(args.hw),
                               raft_apply=raft_apply, seed=args.seed)
     state = trainer.init_state(args.seed)
@@ -279,6 +280,7 @@ def cmd_train_stargan2(args):
     cfg = StarGAN2Config(img_size=args.hw[0], num_domains=args.num_domains,
                          style_dim=args.style_dim, latent_dim=args.latent_dim,
                          max_conv_dim=args.max_conv_dim,
+                         compute_dtype=args.compute_dtype,
                          lambda_tcl=args.lambda_tcl)
     trainer = StarGAN2Trainer(cfg, seed=args.seed)
     state = trainer.init_state(args.seed)
@@ -652,6 +654,144 @@ def cmd_datagen_corpus(args):
     print(f"corpus of {args.n_samples} pairs × domains in {args.out_dir}")
 
 
+
+def cmd_eval_obst(args):
+    """OBST Sintel eval at one or more lambda_tcl settings — reproduces the
+    thesis's core OBST result shape (eval_sintel/{0,2000}: the TCL-ST drop
+    when the temporal term is on, ``obst_eval.py:413-566``) and writes a
+    regenerable timing summary (DT ms/frame; NOTES r2 claim 2.43 s/frame
+    vs reference 3.33, eval_sintel/2000/DT.json)."""
+    import json
+    import os
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from vst.data.styles import load_style_images
+    from vst.data.synthetic import AffineMotionGenerator, _texture
+    from vst.eval.drivers import evaluate_sintel_obst
+    from vst.eval.sintel import SintelVideo, load_sintel_videos
+    from vst.models.gatys import OBST
+
+    if args.sintel_dir:
+        videos = load_sintel_videos(args.sintel_dir)[: args.n_videos]
+    else:
+        rng = np.random.RandomState(args.seed)
+        H, W = args.hw
+        videos = []
+        for v in range(args.n_videos):
+            gen = AffineMotionGenerator(crop_hw=(H, W), seed=args.seed + v)
+            frames, _, _ = gen.generate(
+                _texture(rng, (H + 96, W + 96)), n_frames=args.n_frames)
+            videos.append(SintelVideo(f"synthetic_{v + 1}", frames))
+
+    raft_apply = _make_raft(args)
+    styles = np.stack(load_style_images(args.style_dir, size=256)[:3])
+    H, W = args.hw
+    L = len(args.iters_pyr)  # pyramid levels follow the iters list
+    pyr = tuple((H >> (L - 1 - i), W >> (L - 1 - i)) for i in range(L))
+    obst = OBST(
+        max_iters=tuple(args.iters_pyr), seed=args.seed,
+        compute_dtype=jnp.bfloat16 if args.obst_bf16 else jnp.float32)
+
+    summary = {
+        "hw": list(args.hw), "n_videos": args.n_videos,
+        "n_frames": args.n_frames, "iters_pyr": list(args.iters_pyr),
+        "vgg_backbone": "random-he",
+        "device": str(jax.devices()[0]),
+    }
+    for wt in args.lambda_tcl:
+        out = os.path.join(args.out_dir, str(int(wt)))
+        t0 = time.time()
+        res = evaluate_sintel_obst(
+            obst, videos, raft_apply, jnp.asarray(styles), pyr,
+            weight_tcl=float(wt), out_path=out)
+        wall = time.time() - t0
+        dts = [v for k, v in res["DT"].items()]
+        sts = [v for k, v in res["TCL-ST"].items()]
+        summary[str(int(wt))] = {
+            "DT_ms_mean": float(np.mean(dts)),
+            "TCL-ST_mean": float(np.mean(sts)),
+            "TCL-LT_mean": float(np.mean(
+                [v for v in res["TCL-LT"].values()])),
+            "wall_s": wall,
+        }
+        print(f"lambda_tcl={wt}: TCL-ST {summary[str(int(wt))]['TCL-ST_mean']:.4f} "
+              f"DT {summary[str(int(wt))]['DT_ms_mean']:.0f} ms/frame")
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2, sort_keys=True)
+
+
+
+def cmd_bench_raft(args):
+    """RAFT pair benchmark at Sintel resolution — writes a regenerable
+    timing artifact (VERDICT r2 missing #5: the 86 ms/direction claim
+    lived only in NOTES). Times the exact eval-path program: fwd+bwd in
+    ONE batched call (vst/eval/sintel.py compute_raft_pair), chained
+    timing with a scalar fetch (block_until_ready does not sync on the
+    tunneled platform). Also reports the bf16-vs-f32 flow delta."""
+    import json
+    import os
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from vst.flow.raft import RAFT
+    from vst.ops.image import InputPadder
+
+    H, W = args.hw
+    rng = np.random.RandomState(args.seed)
+    img1 = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32))
+    on_tpu = jax.default_backend() == "tpu"
+
+    results = {"hw": [H, W], "iters": args.raft_iters,
+               "device": str(jax.devices()[0]),
+               "methodology": "chained pair loop, best-of-3, scalar-fetch sync",
+               "weights": "seeded-random (no egress; program identical to "
+                          "converted-checkpoint path)"}
+    flows = {}
+    for name, enc_dtype in (("f32", None), ("bf16_enc", jnp.bfloat16)):
+        raft = RAFT(small=False, iters=args.raft_iters, pallas_lookup=on_tpu,
+                    encoder_dtype=enc_dtype)
+        params = raft.init(jax.random.PRNGKey(0), img1, img2)
+        padder = InputPadder(img1.shape)
+        i1, i2 = padder.pad(img1, img2)
+        a = jnp.concatenate([i1, i2], axis=0)
+        b = jnp.concatenate([i2, i1], axis=0)
+
+        @jax.jit
+        def pair(a, b):
+            _, up = raft.apply(params, a, b)
+            return up
+
+        up = pair(a, b)
+        float(jnp.sum(up))  # compile + sync
+        flows[name] = np.asarray(padder.unpad(up[:1]), np.float32)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            x = (a, b)
+            for _i in range(args.iters):
+                up = pair(x[0] + 0.0 * jnp.mean(up), x[1])
+            float(jnp.sum(up))
+            best = min(best, (time.perf_counter() - t0) / args.iters)
+        results[f"pair_ms_{name}"] = round(best * 1000.0, 2)
+        print(f"{name}: {best * 1000:.1f} ms/pair (fwd+bwd batched)")
+
+    epe = np.sqrt(((flows["bf16_enc"] - flows["f32"]) ** 2).sum(-1))
+    mag = np.sqrt((flows["f32"] ** 2).sum(-1)) + 1e-6
+    results["bf16_vs_f32_epe_mean"] = float(epe.mean())
+    results["bf16_vs_f32_rel_mean"] = float((epe / mag).mean())
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(os.path.join(args.out_dir, "raft_timing.json"), "w") as f:
+        json.dump(results, f, indent=2, sort_keys=True)
+    print(json.dumps(results))
+
+
 def cmd_bench(args):
     import bench
 
@@ -686,6 +826,9 @@ def main(argv=None):
     p.add_argument("--raft-bf16", action=argparse.BooleanOptionalAction,
                    default=None, help="bf16 RAFT encoders (default: on for "
                    "TPU; --no-raft-bf16 runs the instrument at reference f32)")
+    p.add_argument("--compute-dtype", type=str, default=None,
+                   choices=[None, "bfloat16"],
+                   help="G/D mixed-precision policy (vst/train/policy.py)")
     p.set_defaults(fn=cmd_train_cyclegan)
 
     p = sub.add_parser("train-stargan")
@@ -706,6 +849,9 @@ def main(argv=None):
                    help="100 = AdvCon")
     p.add_argument("--sample-every", type=int, default=1000,
                    help="debug sample-grid interval (core/utils.py:122-148)")
+    p.add_argument("--compute-dtype", type=str, default=None,
+                   choices=[None, "bfloat16"],
+                   help="G/F/E/D mixed-precision policy (vst/train/policy.py)")
     p.set_defaults(fn=cmd_train_stargan2)
 
     p = sub.add_parser("eval-sintel")
@@ -721,6 +867,29 @@ def main(argv=None):
                    "TPU; --no-raft-bf16 runs the instrument at reference f32)")
     p.add_argument("--dt-iters", type=int, default=5)
     p.set_defaults(fn=cmd_eval_sintel)
+
+    p = sub.add_parser("bench-raft")
+    _add_common(p)
+    p.add_argument("--raft-iters", type=int, default=20)
+    p.add_argument("--iters", type=int, default=5,
+                   help="timing loop length")
+    p.set_defaults(fn=cmd_bench_raft)
+
+    p = sub.add_parser("eval-obst")
+    _add_common(p)
+    p.add_argument("--sintel-dir", type=str, default=None)
+    p.add_argument("--style-dir", type=str, default=None)
+    p.add_argument("--n-videos", type=int, default=2)
+    p.add_argument("--n-frames", type=int, default=8)
+    p.add_argument("--iters-pyr", type=int, nargs="+", default=[50, 40, 30])
+    p.add_argument("--lambda-tcl", type=float, nargs="+", default=[0.0, 2000.0])
+    p.add_argument("--raft-iters", type=int, default=20)
+    p.add_argument("--raft-ckpt", type=str, default=None)
+    p.add_argument("--raft-bf16", action=argparse.BooleanOptionalAction,
+                   default=None)
+    p.add_argument("--obst-bf16", action="store_true",
+                   help="bf16 VGG closures (f32 Gram/loss accumulation)")
+    p.set_defaults(fn=cmd_eval_obst)
 
     p = sub.add_parser("eval-fc2")
     _add_common(p)

@@ -131,11 +131,17 @@ def calculate_metrics(
         fake_act = inception(jnp.asarray(np.stack(fakes[task])))
         fid_dict[f"FID_{mode}/{task}"] = fid_from_activations(ref_act, fake_act)
 
+    backbones = {"LPIPS": getattr(lpips, "backbone", "random-he"),
+                 "FID": getattr(inception, "backbone", "random-he")}
     for d, name in ((lpips_dict, "LPIPS"), (fid_dict, "FID"), (tcl_dict, "TCL")):
         if d:
             d[f"{name}_{mode}/mean"] = float(
                 np.mean([v for k, v in d.items() if not k.endswith("/mean")])
             )
+            if name in backbones:
+                # label metric-net provenance: "random-he" numbers are a
+                # pipeline test, not comparable to reference magnitudes
+                d[f"{name}_{mode}/backbone"] = backbones[name]
         if out_dir:
             save_json(d, os.path.join(out_dir, f"{name}_{step:05d}_{mode}.json"),
                       aggregate=False)

@@ -171,6 +171,21 @@ def evaluate_videos(
 
     with contextlib.ExitStack() as _stack:
         _stack.enter_context(profile_trace())  # VST_PROFILE_DIR gated
+        # warm every (style, resolution) stylize program BEFORE any DT
+        # timing: on the tunneled backend the first executions after a
+        # remote compile run ~2× slow, which used to skew the first
+        # style's DT mean (artifacts/johnson DT_mean_s1 ≈ 2× s2/s3)
+        if videos and dt_iters > 0:
+            seen_hw = set()
+            for video in videos:
+                hw = video.frames.shape[1:3]
+                if hw in seen_hw:
+                    continue
+                seen_hw.add(hw)
+                f0 = jnp.asarray(ft(video.frames[:1]))
+                for style in styles:
+                    for _ in range(2):
+                        float(jnp.sum(stylize_prog(f0, style)))
         for video in videos:
             frames = jnp.asarray(ft(video.frames))
             n = len(video)
@@ -215,11 +230,14 @@ def _eval_one(video, frames, n, d, style, stylize_prog, tcl_prog,
         x = frames[0:1]
         _ = stylize_prog(x, style)
         float(jnp.sum(_))
-        t0 = time.perf_counter()
-        for _i in range(dt_iters):
-            x = stylize_prog(x, style)
-        float(jnp.sum(x))
-        dt_ms = (time.perf_counter() - t0) / dt_iters * 1000.0
+        dt_ms = float("inf")  # best-of-2 windows: tunnel runs jitter ±10%
+        for _w in range(2):
+            t0 = time.perf_counter()
+            for _i in range(dt_iters):
+                x = stylize_prog(x, style)
+            float(jnp.sum(x))
+            dt_ms = min(dt_ms,
+                        (time.perf_counter() - t0) / dt_iters * 1000.0)
 
     def tcl_pair(img, j, i):
         """TCL between current i and earlier j — RAFT flow, or the caller's

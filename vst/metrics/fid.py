@@ -24,6 +24,7 @@ class InceptionV3:
         self.net = InceptionV3Trunk()
         if torch_state_dict is not None:
             self.params = inception_params_from_torch(torch_state_dict)
+            self.backbone = "torchvision-inception"
         else:
             dummy = jnp.zeros((1, 75, 75, 3), jnp.float32)
             self.params = self.net.init(jax.random.PRNGKey(seed), dummy)["params"]
@@ -33,6 +34,9 @@ class InceptionV3:
             # maps every image to ~identical activations -> FID/LPIPS
             # degenerate); He-scaled random features stay discriminative
             self.params = he_randomized_params(self.params, seed)
+            # no-egress environment: numbers produced with this trunk are a
+            # pipeline test, NOT comparable to reference FID magnitudes
+            self.backbone = "random-he"
         self._apply = jax.jit(
             lambda p, x: self.net.apply({"params": p}, x)
         )

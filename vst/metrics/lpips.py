@@ -115,6 +115,7 @@ class LPIPS:
         self.net = AlexNetFeatures()
         if alexnet_sd is not None:
             self.params = alexnet_params_from_torch(alexnet_sd)
+            self.backbone = "torchvision-alexnet"
         else:
             dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
             self.params = self.net.init(jax.random.PRNGKey(seed), dummy)["params"]
@@ -124,6 +125,9 @@ class LPIPS:
             # maps every image to ~identical activations -> FID/LPIPS
             # degenerate); He-scaled random features stay discriminative
             self.params = he_randomized_params(self.params, seed)
+            # no-egress environment: pipeline-test numbers only (the lin
+            # head weights ARE the converted reference lpips_weights.ckpt)
+            self.backbone = "random-he"
         self.lin = [jnp.asarray(w) for w in load_lin_weights(lin_path)]
 
         def fn(params, lin, x, y):

@@ -259,6 +259,7 @@ def define_D(netD: str = "basic", ndf: int = 64, n_layers: int = 3,
 def gan_loss(pred: jnp.ndarray, target_is_real: bool, mode: str = "lsgan"):
     """GANLoss parity: lsgan = MSE vs 1/0 labels; vanilla = BCE-with-logits;
     wgangp = −mean(pred) for real, +mean(pred) for fake."""
+    pred = pred.astype(jnp.float32)  # loss reductions accumulate f32
     if mode == "lsgan":
         target = 1.0 if target_is_real else 0.0
         return jnp.mean((pred - target) ** 2)

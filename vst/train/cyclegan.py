@@ -40,6 +40,7 @@ from vst.models.cyclegan import (
     image_pool_query,
 )
 from vst.ops.sample import warp
+from vst.train.policy import cast_img, cast_tree, compute_dtype_of, f32
 from vst.ops.flowtools import fbc_mask
 from vst.ops.image import InputPadder
 
@@ -81,6 +82,10 @@ class CycleGANConfig:
     ngf: int = 64
     ndf: int = 64
     raft_iters: int = 20  # mogan in-training flow
+    # optional bf16 compute policy (vst/train/policy.py): master params
+    # and the RAFT instrument stay f32; "bfloat16" runs the G/D conv
+    # path on the MXU at native rate. None = reference-parity f32.
+    compute_dtype: Optional[str] = None
 
 
 class CycleGANState(flax.struct.PyTreeNode):
@@ -169,13 +174,17 @@ class CycleGANTrainer:
         """MoGAN computeRAFT: pads to /8, images in [−1,1] fed straight into
         RAFT's own 255-range normalization (same quirk as the eval harness)."""
         padder = InputPadder(img1.shape)
-        i1, i2 = padder.pad(img1, img2)
+        i1, i2 = padder.pad(f32(img1), f32(img2))
         _, up = self.raft_apply(i1, i2)
         return padder.unpad(up)
 
     def _g_loss(self, g_params, d_params, batch, aux):
         cfg = self.cfg
-        p = {**g_params, **d_params}
+        cd = compute_dtype_of(cfg.compute_dtype)
+        p = cast_tree({**g_params, **d_params}, cd)
+        batch = {k: cast_img(v, cd) if k.startswith("real") else v
+                 for k, v in batch.items()}
+        d_params = cast_tree(d_params, cd)
         real_A, real_B = batch["real_A"], batch["real_B"]
 
         fake_B = self._g_apply("G_A", p, real_A)
@@ -287,6 +296,11 @@ class CycleGANTrainer:
 
     def _d_loss(self, d_params, batch, fake_A, fake_B):
         cfg = self.cfg
+        cd = compute_dtype_of(cfg.compute_dtype)
+        d_params = cast_tree(d_params, cd)
+        batch = {k: cast_img(v, cd) if k.startswith("real") else v
+                 for k, v in batch.items()}
+        fake_A, fake_B = cast_img(fake_A, cd), cast_img(fake_B, cd)
 
         def d_basic(mod, params, real, fake):
             pred_real = mod.apply({"params": params}, real)
@@ -332,10 +346,12 @@ class CycleGANTrainer:
 
             rng_a, rng_b = jax.random.split(rng)
             pool_a, fake_A_q = image_pool_query(
-                state.pool_a, jax.lax.stop_gradient(fake_A), rng_a, self.cfg.pool_size
+                state.pool_a, f32(jax.lax.stop_gradient(fake_A)), rng_a,
+                self.cfg.pool_size
             )
             pool_b, fake_B_q = image_pool_query(
-                state.pool_b, jax.lax.stop_gradient(fake_B), rng_b, self.cfg.pool_size
+                state.pool_b, f32(jax.lax.stop_gradient(fake_B)), rng_b,
+                self.cfg.pool_size
             )
 
             d_grad_fn = jax.value_and_grad(self._d_loss, has_aux=True)

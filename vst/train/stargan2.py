@@ -34,6 +34,7 @@ from vst.models.stargan2 import (
     Discriminator,
 )
 from vst.ops.sample import warp
+from vst.train.policy import cast_img, cast_tree, compute_dtype_of, f32
 
 
 @dataclasses.dataclass
@@ -56,6 +57,10 @@ class StarGAN2Config:
     weight_decay: float = 1e-4
     ema_beta: float = 0.999
     max_conv_dim: int = 512
+    # optional bf16 compute policy (vst/train/policy.py): master params and
+    # norm stats stay f32; "bfloat16" runs the conv/matmul path on the MXU
+    # at native rate. None = reference-parity f32.
+    compute_dtype: Optional[str] = None
 
 
 class StarGAN2State(flax.struct.PyTreeNode):
@@ -67,7 +72,10 @@ class StarGAN2State(flax.struct.PyTreeNode):
 
 
 def adv_loss(logits, target: int):
-    """BCE-with-logits vs constant target (solver.py:459-463)."""
+    """BCE-with-logits vs constant target (solver.py:459-463).
+    Computed in f32 regardless of the activation dtype (log1p/exp in bf16
+    lose the loss's low-order digits)."""
+    logits = logits.astype(jnp.float32)
     t = float(target)
     return jnp.mean(
         jnp.maximum(logits, 0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
@@ -135,14 +143,22 @@ class StarGAN2Trainer:
         cfg = self.cfg
 
         def loss_fn(d_params, params, x_real, y_org, y_trg, z, x_ref):
+            cd = compute_dtype_of(cfg.compute_dtype)
+            d_params = cast_tree(d_params, cd)
+            params = cast_tree(params, cd)
+            x_real = cast_img(x_real, cd)
+            z = cast_img(z, cd)
+            x_ref = cast_img(x_ref, cd)
             out = self.D.apply({"params": d_params}, x_real, y_org)
             loss_real = adv_loss(out, 1)
 
-            # R1: 0.5·E[‖∇ₓ D(x)‖²] on reals (solver.py:465-475)
+            # R1: 0.5·E[‖∇ₓ D(x)‖²] on reals (solver.py:465-475); the
+            # squared-norm reduction accumulates in f32
             def d_sum(x):
-                return jnp.sum(self.D.apply({"params": d_params}, x, y_org))
+                return jnp.sum(f32(
+                    self.D.apply({"params": d_params}, x, y_org)))
 
-            g = jax.grad(d_sum)(x_real)
+            g = f32(jax.grad(d_sum)(x_real))
             loss_reg = 0.5 * jnp.mean(jnp.sum(
                 (g ** 2).reshape(x_real.shape[0], -1), axis=1))
 
@@ -186,7 +202,12 @@ class StarGAN2Trainer:
         subset = ("generator", "mapping", "style_enc") if update_fe else ("generator",)
 
         def loss_fn(sub_params, params, batch):
-            p = {**params, **sub_params}
+            cd = compute_dtype_of(cfg.compute_dtype)
+            p = cast_tree({**params, **sub_params}, cd)
+            batch = {k: cast_img(v, cd)
+                     if k in ("x_real", "x_real2", "x_ref", "x_ref2", "z",
+                              "z2", "flow", "mask") else v
+                     for k, v in batch.items()}
             x_real, y_org, y_trg = batch["x_real"], batch["y_org"], batch["y_trg"]
             s_trg = self._style(p, kind, y_trg, batch.get("z"), batch.get("x_ref"))
 
@@ -195,13 +216,13 @@ class StarGAN2Trainer:
             loss_adv = adv_loss(out, 1)
 
             s_pred = self.E.apply({"params": p["style_enc"]}, x_fake, y_trg)
-            loss_sty = jnp.mean(jnp.abs(s_pred - s_trg))
+            loss_sty = jnp.mean(jnp.abs(f32(s_pred) - f32(s_trg)))
 
             loss_ds = jnp.zeros(())  # diversity loss disabled (solver.py:404-414)
 
             s_org = self.E.apply({"params": p["style_enc"]}, x_real, y_org)
             x_rec = self.G.apply({"params": p["generator"]}, x_fake, s_org)
-            loss_cyc = jnp.mean(jnp.abs(x_rec - x_real))
+            loss_cyc = jnp.mean(jnp.abs(f32(x_rec) - f32(x_real)))
 
             loss = (loss_adv + cfg.lambda_sty * loss_sty
                     - batch["lambda_ds"] * loss_ds + cfg.lambda_cyc * loss_cyc)
@@ -214,7 +235,7 @@ class StarGAN2Trainer:
                 x_fake2 = self.G.apply({"params": p["generator"]},
                                        batch["x_real2"], s_trg)
                 x_warp = warp(x_fake, batch["flow"])
-                loss_tcl = jnp.mean((batch["mask"] * (x_fake2 - x_warp)) ** 2)
+                loss_tcl = jnp.mean((f32(batch["mask"]) * (f32(x_fake2) - f32(x_warp))) ** 2)
                 loss = loss + cfg.lambda_tcl * loss_tcl
                 metrics["tcl"] = loss_tcl
 
