@@ -133,3 +133,76 @@ def test_fast_stylize_pallas_trunk_matches_reference_forward():
                                    rtol=1e-4, atol=1e-3)
     finally:
         del os.environ["VST_PALLAS_CONV"]
+
+
+@pytest.mark.parametrize("h,w,ci,co", [
+    (20, 128, 128, 64),   # dec1-like, 3 tiles
+    (8, 128, 64, 32),     # single tile
+])
+def test_up2_conv_subpixel_pallas_exact(h, w, ci, co):
+    """Fused coarse-conv + in-VMEM d2s must match the folded subpixel
+    stage (itself bit-exact vs up2∘reflect-pad∘conv, test above)."""
+    from vst.kernels.layout import up2_conv_subpixel
+    from vst.kernels.pallas_conv import up2_conv_subpixel_pallas
+
+    rng = np.random.RandomState(h + ci)
+    x = jnp.asarray(rng.randn(1, h, w, ci).astype(np.float32))
+    wk = jnp.asarray(rng.randn(3, 3, ci, co).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(co).astype(np.float32) * 0.1)
+    ref = up2_conv_subpixel(x, wk) + b
+    got = up2_conv_subpixel_pallas(x, wk, b)
+    assert got.shape == ref.shape == (1, 2 * h, 2 * w, co)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+    # grads route through the exact XLA formulation
+    g1 = jax.grad(lambda k: up2_conv_subpixel_pallas(x, k, b).sum())(wk)
+    g2 = jax.grad(lambda k: (up2_conv_subpixel(x, k) + b).sum())(wk)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n_styles,sid,ss", [(1, 0, 1.0), (3, 2, 0.7)])
+def test_b1_stylize_matches_reference_forward(n_styles, sid, ss):
+    """The latency path (fused Pallas res-blocks + subpixel decoder) must
+    reproduce FastStyleNet.apply on the same param tree."""
+    from vst.models.faststyle import FastStyleNet
+    from vst.models.faststyle_b1 import b1_stylize
+
+    m = FastStyleNet(n_styles=n_styles)
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(1, 64, 128, 3).astype(np.float32))
+    p = m.init(jax.random.PRNGKey(1), x, ss, sid)["params"]
+    f_ref, y_ref = m.apply({"params": p}, x, ss, sid)
+    f_b1, y_b1 = b1_stylize(p, x, ss, sid, n_styles=n_styles)
+    np.testing.assert_allclose(np.asarray(y_b1), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f_b1), np.asarray(f_ref),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_res_block_pallas_matches_xla_block():
+    from vst.kernels.pallas_conv import res_block_pallas
+    from vst.ops.image import reflect_pad
+    from vst.nn.norm import instance_norm
+
+    rng = np.random.RandomState(0)
+    H, W, C = 40, 128, 128
+    h = jnp.asarray(rng.randn(1, H, W, C).astype(np.float32))
+    w1, w2 = (jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.05)
+              for _ in range(2))
+    b1, b2, be1, be2 = (jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+                        for _ in range(4))
+    g1, g2 = (jnp.asarray(rng.rand(C).astype(np.float32) + 0.5)
+              for _ in range(2))
+
+    def conv(v, w, b):
+        return jax.lax.conv_general_dilated(
+            reflect_pad(v, 1), w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    y = jax.nn.relu(instance_norm(conv(h, w1, b1)) * g1 + be1)
+    ref = 0.8 * (instance_norm(conv(y, w2, b2)) * g2 + be2) + h
+    got = res_block_pallas(h, w1, b1, g1, be1, w2, b2, g2, be2, 0.8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

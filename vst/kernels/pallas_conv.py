@@ -194,3 +194,323 @@ def conv3x3_reflect_ref(x, w, b):
         xp, w.astype(x.dtype), (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     ) + b.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def up2_conv_subpixel_pallas(x, w, b, row_tile: int = 8,
+                             interpret: bool = False):
+    """Fused FastStyleNet decoder stage: nearest-up2 ∘ reflect-pad(1) ∘
+    conv3×3 computed at the COARSE resolution via the folded per-phase
+    kernel (vst.kernels.layout.fold_up2_kernel, exact math) with the
+    edge-pad built in VMEM and the depth-to-space applied in-register
+    before the output write. Replaces up2_conv_subpixel whose separate XLA
+    d2s pass costs 0.8 ms in HBM at the dec2 shape (scripts/bisect_stages).
+
+    x: (1, h, w, Ci); w: (3, 3, Ci, Co) torch-layout; b: (Co,).
+    Returns (1, 2h, 2w, Co). Reference stage: network.py:173-191.
+    """
+    from vst.kernels.layout import fold_up2_kernel
+
+    if jax.default_backend() == "cpu":
+        interpret = True
+    _, h, wd, Ci = x.shape
+    Co = w.shape[-1]
+    wf = fold_up2_kernel(w)  # (3, 3, Ci, 4·Co), phase order (py·2+px)·Co+c
+    R = row_tile
+    n_tiles = pl.cdiv(h, R)
+    last = n_tiles - 1
+    body_last = max(0, h - (last * R - 1))
+
+    def kernel(x_hbm, w_ref, b_ref, y_ref, xbuf, sem):
+        t = pl.program_id(0)
+        r0 = t * R
+
+        # edge row pad = clamped contiguous spans (cf. conv3x3_reflect's
+        # reflect variant; single bulk DMA per interior tile)
+        def copies():
+            if n_tiles == 1:
+                cps = [pltpu.make_async_copy(
+                    x_hbm.at[0, pl.ds(0, h)], xbuf.at[pl.ds(1, h)], sem),
+                    pltpu.make_async_copy(
+                        x_hbm.at[0, pl.ds(0, 1)], xbuf.at[pl.ds(0, 1)], sem)]
+                for i in range(h + 1, R + 2):
+                    cps.append(pltpu.make_async_copy(
+                        x_hbm.at[0, pl.ds(h - 1, 1)], xbuf.at[pl.ds(i, 1)],
+                        sem))
+                return [("all", cps)]
+            first = [
+                pltpu.make_async_copy(x_hbm.at[0, pl.ds(0, R + 1)],
+                                      xbuf.at[pl.ds(1, R + 1)], sem),
+                pltpu.make_async_copy(x_hbm.at[0, pl.ds(0, 1)],
+                                      xbuf.at[pl.ds(0, 1)], sem),
+            ]
+            interior = [pltpu.make_async_copy(
+                x_hbm.at[0, pl.ds(r0 - 1, R + 2)], xbuf, sem)]
+            tail = [pltpu.make_async_copy(
+                x_hbm.at[0, pl.ds(last * R - 1, body_last)],
+                xbuf.at[pl.ds(0, body_last)], sem)]
+            for i in range(body_last, R + 2):
+                tail.append(pltpu.make_async_copy(
+                    x_hbm.at[0, pl.ds(h - 1, 1)], xbuf.at[pl.ds(i, 1)], sem))
+            return [("first", first), ("interior", interior), ("tail", tail)]
+
+        groups = copies()
+        if len(groups) == 1:
+            for cp in groups[0][1]:
+                cp.start()
+            for cp in groups[0][1]:
+                cp.wait()
+        else:
+            conds = {"first": t == 0,
+                     "interior": jnp.logical_and(t > 0, t < last),
+                     "tail": t == last}
+            for name, cps in groups:
+                @pl.when(conds[name])
+                def _():
+                    for cp in cps:
+                        cp.start()
+                    for cp in cps:
+                        cp.wait()
+
+        xv = xbuf[...]
+        # edge column pad: duplicate first/last columns
+        xp = jnp.concatenate([xv[:, 0:1], xv, xv[:, wd - 1:wd]], axis=1)
+
+        acc = jnp.zeros((R * wd, 4 * Co), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = xp[dy:dy + R, dx:dx + wd]
+                acc = acc + jax.lax.dot_general(
+                    tap.reshape(R * wd, Ci), w_ref[dy, dx],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        acc = acc + jnp.tile(b_ref[...].astype(jnp.float32), 4)
+        # depth-to-space in-register: (R, w, py, px, Co) → (2R, 2w, Co)
+        y = acc.reshape(R, wd, 2, 2, Co).transpose(0, 2, 1, 3, 4)
+        y_ref[...] = y.reshape(1, 2 * R, 2 * wd, Co).astype(y_ref.dtype)
+
+    Hp = n_tiles * R
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2 * R, 2 * wd, Co), lambda t: (0, t, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 2 * Hp, 2 * wd, Co), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R + 2, wd, Ci), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x, wf.astype(x.dtype), b.astype(x.dtype))
+    return y[:, :2 * h]
+
+
+def _up2_subpixel_ref(x, w, b):
+    from vst.kernels.layout import up2_conv_subpixel
+
+    return up2_conv_subpixel(x, w) + b.astype(x.dtype)
+
+
+def _up2_fwd(x, w, b, row_tile, interpret):
+    return up2_conv_subpixel_pallas(x, w, b, row_tile, interpret), (x, w, b)
+
+
+def _up2_bwd(row_tile, interpret, res, g):
+    x, w, b = res
+    _, vjp = jax.vjp(_up2_subpixel_ref, x, w, b)
+    return vjp(g)
+
+
+up2_conv_subpixel_pallas.defvjp(_up2_fwd, _up2_bwd)
+
+
+def up2_wants_pallas(x, co):
+    """Gate for the fused decoder stage (same opt-in as
+    res_chain_wants_pallas until the in-net win is measured)."""
+    import os
+
+    if os.environ.get("VST_PALLAS_CONV") != "1":
+        return False
+    _, h, wd, ci = x.shape
+    return (x.shape[0] == 1 and wd % 128 == 0 and h >= 24
+            and ci % 32 == 0 and co % 32 == 0)
+
+
+def conv3x3_block_pallas(x, w, b, pre_norm=None, row_tile: int = 16,
+                         interpret: bool = False):
+    """Res-block building kernel: optional inline pre-normalization
+    (instance-norm affine + relu applied to the INPUT on the fly), fused
+    reflect-pad conv3×3, and per-channel (sum, sumsq) of the OUTPUT
+    accumulated across row tiles.
+
+    With two calls this computes a full FastStyleNet residual block
+    (network.py:219-261) with zero standalone elementwise passes:
+      t1, s1 = conv3x3_block_pallas(h, w1, b1)
+      y2, s2 = conv3x3_block_pallas(t1, w2, b2, pre_norm=(μ1,σ1,γ1,β1))
+      h'     = strength·(norm2(y2)·γ2 + β2) + h   # one fused XLA op
+    where (μ, σ⁻¹) derive from the returned sums. XLA's version pays a
+    stats pass + a normalize+relu pass + a pad materialization per conv —
+    all HBM round trips this kernel absorbs into VMEM.
+
+    x: (1, H, W, C); w: (3, 3, C, C_out); pre_norm: (mean, inv_std,
+    gamma, beta) each (C,) applied as relu((x−μ)·inv·γ+β) before padding.
+    Returns (y (1, H, W, C_out), stats (2, C_out) f32 [sum, sumsq] over
+    the H·W valid pixels of y).
+    """
+    if jax.default_backend() == "cpu":
+        interpret = True
+    _, H, W, C = x.shape
+    C_out = w.shape[-1]
+    R = row_tile
+    n_tiles = pl.cdiv(H, R)
+    last = n_tiles - 1
+    body_last = max(0, H - (last * R - 1))
+    n_norm = 4 if pre_norm is not None else 0
+
+    def kernel(*refs):
+        x_hbm, w_ref, b_ref = refs[0], refs[1], refs[2]
+        norm_refs = refs[3:3 + n_norm]
+        y_ref, st_ref = refs[3 + n_norm], refs[4 + n_norm]
+        xbuf, sem = refs[5 + n_norm], refs[6 + n_norm]
+        t = pl.program_id(0)
+        r0 = t * R
+
+        def copies():
+            cps = []
+            if n_tiles == 1:
+                cps.append(pltpu.make_async_copy(
+                    x_hbm.at[0, pl.ds(0, H)], xbuf.at[pl.ds(1, H)], sem))
+                cps.append(pltpu.make_async_copy(
+                    x_hbm.at[0, pl.ds(1, 1)], xbuf.at[pl.ds(0, 1)], sem))
+                for i in range(H + 1, R + 2):
+                    src = min(2 * H - 2 - (i - 1), H - 1)
+                    cps.append(pltpu.make_async_copy(
+                        x_hbm.at[0, pl.ds(src, 1)], xbuf.at[pl.ds(i, 1)],
+                        sem))
+                return [("all", cps)]
+            first = [
+                pltpu.make_async_copy(x_hbm.at[0, pl.ds(0, R + 1)],
+                                      xbuf.at[pl.ds(1, R + 1)], sem),
+                pltpu.make_async_copy(x_hbm.at[0, pl.ds(1, 1)],
+                                      xbuf.at[pl.ds(0, 1)], sem),
+            ]
+            interior = [pltpu.make_async_copy(
+                x_hbm.at[0, pl.ds(r0 - 1, R + 2)], xbuf, sem)]
+            tail = [pltpu.make_async_copy(
+                x_hbm.at[0, pl.ds(last * R - 1, body_last)],
+                xbuf.at[pl.ds(0, body_last)], sem)]
+            for i in range(body_last, R + 2):
+                src = 2 * H - 2 - (last * R - 1 + i)
+                tail.append(pltpu.make_async_copy(
+                    x_hbm.at[0, pl.ds(src, 1)], xbuf.at[pl.ds(i, 1)], sem))
+            return [("first", first), ("interior", interior), ("tail", tail)]
+
+        groups = copies()
+        if len(groups) == 1:
+            for cp in groups[0][1]:
+                cp.start()
+            for cp in groups[0][1]:
+                cp.wait()
+        else:
+            conds = {"first": t == 0,
+                     "interior": jnp.logical_and(t > 0, t < last),
+                     "tail": t == last}
+            for name, cps in groups:
+                @pl.when(conds[name])
+                def _():
+                    for cp in cps:
+                        cp.start()
+                    for cp in cps:
+                        cp.wait()
+
+        xv = xbuf[...]
+        if n_norm:
+            mu, inv, gam, bet = (r[...] for r in norm_refs)
+            xv = jax.nn.relu(
+                ((xv.astype(jnp.float32) - mu) * (inv * gam) + bet)
+            ).astype(xv.dtype)
+        xp = jnp.concatenate([xv[:, 1:2], xv, xv[:, W - 2:W - 1]], axis=1)
+
+        acc = jnp.zeros((R * W, C_out), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = xp[dy:dy + R, dx:dx + W]
+                acc = acc + jax.lax.dot_general(
+                    tap.reshape(R * W, C), w_ref[dy, dx],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        acc = acc + b_ref[...].astype(jnp.float32)
+        y_ref[...] = acc.reshape(1, R, W, C_out).astype(y_ref.dtype)
+
+        # per-channel stats over VALID rows only (grid padding excluded)
+        valid = (r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)) < H
+        am = jnp.where(
+            jnp.broadcast_to(valid[:, :, None], (R, W, C_out)).reshape(
+                R * W, C_out),
+            acc, 0.0)
+
+        @pl.when(t == 0)
+        def _():
+            st_ref[...] = jnp.zeros((2, C_out), jnp.float32)
+
+        st_ref[0:1] += jnp.sum(am, axis=0, keepdims=True)
+        st_ref[1:2] += jnp.sum(am * am, axis=0, keepdims=True)
+
+    Hp = n_tiles * R
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM)]
+    args = [x, w.astype(x.dtype), b.astype(x.dtype)]
+    if pre_norm is not None:
+        for v in pre_norm:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            args.append(v.astype(jnp.float32))
+    y, st = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, R, W, C_out), lambda t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C_out), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Hp, W, C_out), x.dtype),
+            jax.ShapeDtypeStruct((2, C_out), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R + 2, W, C), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(*args)
+    return y[:, :H], st
+
+
+def res_block_pallas(h, w1, b1, g1, be1, w2, b2, g2, be2, strength,
+                     eps: float = 1e-5, row_tile: int = 16):
+    """Full FastStyleNet residual block via two fused kernels + one XLA
+    elementwise epilogue. Numerics: conv accumulation f32, IN stats f32
+    via sum/sumsq (algebraically = the two-pass biased variance)."""
+    n = h.shape[1] * h.shape[2]
+    t1, s1 = conv3x3_block_pallas(h, w1, b1, row_tile=row_tile)
+    mu1 = s1[0] / n
+    var1 = jnp.maximum(s1[1] / n - mu1 * mu1, 0.0)
+    inv1 = jax.lax.rsqrt(var1 + eps)
+    y2, s2 = conv3x3_block_pallas(
+        t1, w2, b2, pre_norm=(mu1, inv1, g1, be1), row_tile=row_tile)
+    mu2 = s2[0] / n
+    var2 = jnp.maximum(s2[1] / n - mu2 * mu2, 0.0)
+    inv2 = jax.lax.rsqrt(var2 + eps)
+    y2f = y2.astype(jnp.float32)
+    out = strength * ((y2f - mu2) * (inv2 * g2) + be2) + h.astype(jnp.float32)
+    return out.astype(h.dtype)

@@ -209,6 +209,13 @@ class _SubpixelUpConv(nn.Module):
                     "kernel", conv_kernel_torch_default, (3, 3, cin, features))
                 bias = inner_self.param(
                     "bias", conv_bias_torch_default(fan_in), (features,))
+                from vst.kernels.pallas_conv import (
+                    up2_conv_subpixel_pallas, up2_wants_pallas)
+
+                if up2_wants_pallas(x, features):
+                    # fused coarse conv + in-VMEM d2s (the separate XLA
+                    # d2s pass costs 0.8 ms at the dec2 shape)
+                    return up2_conv_subpixel_pallas(x, kernel, bias)
                 return up2_conv_subpixel(x, kernel) + bias
 
         return _Inner(name="Conv_0")(x)
