@@ -206,3 +206,28 @@ def test_res_block_pallas_matches_xla_block():
     got = res_block_pallas(h, w1, b1, g1, be1, w2, b2, g2, be2, 0.8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_layout_passes_exact_and_adjoint():
+    """pallas_s2d/pallas_d2s register relayouts vs the XLA reshapes, plus
+    the adjoint VJP pair, plus s2d_conv2d's B=1 route through them."""
+    from vst.kernels.layout import s2d, d2s
+    from vst.kernels.pallas_conv import pallas_d2s, pallas_s2d
+
+    rng = np.random.RandomState(2)
+    x_s = jnp.asarray(rng.randn(1, 10, 32, 48).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(pallas_d2s(x_s, 4, 3)),
+                                  np.asarray(d2s(x_s, 4, 3)))
+    x = jnp.asarray(rng.randn(1, 40, 128, 32).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(pallas_s2d(x, 4)),
+                                  np.asarray(s2d(x, 4)))
+    g = jax.grad(lambda v: (pallas_s2d(v, 4) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(2 * x), rtol=1e-6)
+
+    w = jnp.asarray(rng.randn(9, 9, 3, 8).astype(np.float32) * 0.1)
+    xi = jnp.asarray(rng.randn(1, 40, 48, 3).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        xi, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = s2d_conv2d(xi, w, f=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

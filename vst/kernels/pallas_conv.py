@@ -514,3 +514,94 @@ def res_block_pallas(h, w1, b1, g1, be1, w2, b2, g2, be2, strength,
     y2f = y2.astype(jnp.float32)
     out = strength * ((y2f - mu2) * (inv2 * g2) + be2) + h.astype(jnp.float32)
     return out.astype(h.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def pallas_d2s(x_s, f: int, C: int, row_tile: int = 4,
+               interpret: bool = False):
+    """Depth-to-space S_f(1, Hs, Ws, f²·C) → T(1, f·Hs, f·Ws, C) as a
+    single Pallas relayout: the permute happens in registers between the
+    (auto-pipelined) input-block read and output-block write. XLA lowers
+    the same reshape∘transpose∘reshape as an HBM gather costing ~0.8 ms
+    at the stem1/head shapes (scripts/bisect_stages.py); the HBM floor is
+    read+write only."""
+    if jax.default_backend() == "cpu":
+        interpret = True
+    _, Hs, Ws, Cf = x_s.shape
+    assert Cf == f * f * C
+    R = row_tile
+    n_tiles = pl.cdiv(Hs, R)
+
+    def kernel(x_ref, y_ref):
+        v = x_ref[...].reshape(R, Ws, f, f, C)
+        v = v.transpose(0, 2, 1, 3, 4)
+        y_ref[...] = v.reshape(1, f * R, f * Ws, C)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((1, R, Ws, Cf), lambda t: (0, t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, f * R, f * Ws, C),
+                               lambda t: (0, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (1, f * n_tiles * R, f * Ws, C), x_s.dtype),
+        interpret=interpret,
+    )(x_s)
+    return y[:, :f * Hs]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def pallas_s2d(x, f: int, row_tile: int = 4, interpret: bool = False):
+    """Space-to-depth T(1, H, W, C) → S_f(1, H/f, W/f, f²·C), the inverse
+    relayout of pallas_d2s (same register-permute structure)."""
+    if jax.default_backend() == "cpu":
+        interpret = True
+    _, H, W, C = x.shape
+    assert H % f == 0 and W % f == 0
+    Hs, Ws = H // f, W // f
+    R = row_tile
+    n_tiles = pl.cdiv(Hs, R)
+
+    def kernel(x_ref, y_ref):
+        v = x_ref[...].reshape(R, f, Ws, f, C)
+        v = v.transpose(0, 2, 1, 3, 4)
+        y_ref[...] = v.reshape(1, R, Ws, f * f * C)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((1, f * R, W, C), lambda t: (0, t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, R, Ws, f * f * C),
+                               lambda t: (0, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (1, n_tiles * R, Ws, f * f * C), x.dtype),
+        interpret=interpret,
+    )(x)
+    return y[:, :Hs]
+
+
+# the two relayouts are exact adjoints of each other
+def _d2s_fwd(x_s, f, C, row_tile, interpret):
+    return pallas_d2s(x_s, f, C, row_tile, interpret), None
+
+
+def _d2s_bwd(f, C, row_tile, interpret, _, g):
+    return (pallas_s2d(g, f, row_tile, interpret),)
+
+
+pallas_d2s.defvjp(_d2s_fwd, _d2s_bwd)
+
+
+def _s2d_fwd(x, f, row_tile, interpret):
+    return pallas_s2d(x, f, row_tile, interpret), x.shape[-1]
+
+
+def _s2d_bwd(f, row_tile, interpret, C, g):
+    return (pallas_d2s(g, f, C, row_tile, interpret),)
+
+
+pallas_s2d.defvjp(_s2d_fwd, _s2d_bwd)

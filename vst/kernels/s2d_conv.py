@@ -76,6 +76,20 @@ def s2d_conv2d(x: jnp.ndarray, w: jnp.ndarray, f: int = 4) -> jnp.ndarray:
                      (0, 0)))
     Hp2, Wp2 = xp.shape[1], xp.shape[2]
 
+    if B == 1 and Wp2 % f == 0:
+        # batch-1 inference: the s2d/d2s layout passes run as Pallas
+        # register relayouts (XLA lowers them as HBM gathers costing
+        # ~0.8 ms each at the stem/head shapes — scripts/bisect_stages.py)
+        from vst.kernels.pallas_conv import pallas_d2s, pallas_s2d
+
+        xs = pallas_s2d(xp, f)
+        w2 = _s2d_weights(w, f)
+        y = jax.lax.conv_general_dilated(
+            xs, w2, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = pallas_d2s(y, f, Co)
+        return y[:, :Ho, :Wo, :]
+
     xs = xp.reshape(B, Hp2 // f, f, Wp2 // f, f, Ci)
     xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp2 // f, Wp2 // f, f * f * Ci)
 
@@ -87,3 +101,4 @@ def s2d_conv2d(x: jnp.ndarray, w: jnp.ndarray, f: int = 4) -> jnp.ndarray:
     y = y.reshape(B, Hh, Wh, f, f, Co).transpose(0, 1, 3, 2, 4, 5)
     y = y.reshape(B, f * Hh, f * Wh, Co)
     return y[:, :Ho, :Wo, :]
+
