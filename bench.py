@@ -21,18 +21,26 @@ import jax.numpy as jnp
 REF_FPS = 1000.0 / 5.87  # reference Johnson DT → 170.4 fps
 
 
-def _measure(model, dtype, batch, H, W, iters=20, fast=False):
+def _measure(model, dtype, batch, H, W, iters=20, path="natural"):
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3), dtype), 1.0, 0
     )["params"]
     params = jax.tree.map(lambda x: x.astype(dtype), params)
 
-    if fast:
+    if path == "fast":
         from vst.models.faststyle_fast import fast_stylize
 
         @jax.jit
         def stylize(p, img):
             _, out = fast_stylize(p, img, 1.0, 0, n_styles=3)
+            return jnp.clip(out / 255.0, 0.0, 1.0)
+    elif path == "b1":
+        # fused-Pallas latency path (vst/models/faststyle_b1.py)
+        from vst.models.faststyle_b1 import b1_stylize
+
+        @jax.jit
+        def stylize(p, img):
+            _, out = b1_stylize(p, img, 1.0, 0, n_styles=3)
             return jnp.clip(out / 255.0, 0.0, 1.0)
     else:
         @jax.jit
@@ -62,36 +70,44 @@ def main():
     model = FastStyleNet(n_styles=3)
 
     configs = [
-        ("f32_b1", jnp.float32, 1, False),
-        ("bf16_b1", jnp.bfloat16, 1, False),
-        ("bf16_b8", jnp.bfloat16, 8, False),
+        ("f32_b1", jnp.float32, 1, "natural"),
+        ("bf16_b1", jnp.bfloat16, 1, "natural"),
+        # fused-Pallas latency path: res-block pair kernels + subpixel
+        # decoder + register s2d/d2s (vst/models/faststyle_b1.py)
+        ("f32_b1_pallas", jnp.float32, 1, "b1"),
+        ("bf16_b1_pallas", jnp.bfloat16, 1, "b1"),
+        ("bf16_b8", jnp.bfloat16, 8, "natural"),
         # layout-propagated forward (vst.models.faststyle_fast): wins at
         # batch >= 4 where the phase-dense kernels saturate the MXU
-        ("bf16_b8_fast", jnp.bfloat16, 8, True),
-        ("bf16_b16_fast", jnp.bfloat16, 16, True),
+        ("bf16_b8_fast", jnp.bfloat16, 8, "fast"),
+        ("bf16_b16_fast", jnp.bfloat16, 16, "fast"),
     ]
     results = {}
     from vst.core.trace import annotate, profile_trace
 
     with profile_trace():  # no-op unless VST_PROFILE_DIR is set
-        for name, dtype, batch, fast in configs:
+        for name, dtype, batch, path in configs:
             with annotate(f"bench/{name}"):
-                fps, ms, ms_mean = _measure(model, dtype, batch, H, W, fast=fast)
+                fps, ms, ms_mean = _measure(model, dtype, batch, H, W, path=path)
             results[name] = (fps, ms, ms_mean)
 
     best_name = max(results, key=lambda k: results[k][0])
     best_fps = results[best_name][0]
-    lat_ms = results["f32_b1"][1]
+    # b1 latency = best of the natural and fused-Pallas paths (both exact
+    # forwards of the same param tree; parity-tested)
+    f32_pick = min(("f32_b1", "f32_b1_pallas"), key=lambda k: results[k][1])
+    bf16_pick = min(("bf16_b1", "bf16_b1_pallas"), key=lambda k: results[k][1])
 
     out = {
         "metric": "styled_frames_per_sec_per_chip_436x1024_johnson",
         "value": round(best_fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(best_fps / REF_FPS, 3),
-        "latency_ms_f32_b1": round(lat_ms, 3),
-        "latency_ms_bf16_b1": round(results["bf16_b1"][1], 3),
-        "latency_ms_f32_b1_mean": round(results["f32_b1"][2], 3),
-        "latency_ms_bf16_b1_mean": round(results["bf16_b1"][2], 3),
+        "latency_ms_f32_b1": round(results[f32_pick][1], 3),
+        "latency_ms_bf16_b1": round(results[bf16_pick][1], 3),
+        "latency_ms_f32_b1_mean": round(results[f32_pick][2], 3),
+        "latency_ms_bf16_b1_mean": round(results[bf16_pick][2], 3),
+        "b1_path": {"f32": f32_pick, "bf16": bf16_pick},
         "methodology": "chained-loop device latency; best-of-3 (mean also reported)",
         "best_config": best_name,
         "device": str(jax.devices()[0]),
