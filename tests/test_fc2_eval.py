@@ -54,8 +54,12 @@ def test_calculate_metrics_end_to_end(tmp_path):
     assert (tmp_path / "FID_00007_latent.json").exists()
     assert (tmp_path / "LPIPS_00007_latent.json").exists()
     # LPIPS over identical-but-for-noise outputs is small but > 0
-    lp = [v for k, v in results["LPIPS"].items() if not k.endswith("/mean")]
+    lp = [v for k, v in results["LPIPS"].items()
+          if not k.endswith(("/mean", "/backbone"))]
     assert all(v > 0 for v in lp)
+    # provenance label: random-backbone numbers must be marked as such
+    assert results["LPIPS"]["LPIPS_latent/backbone"] == "random-he"
+    assert results["FID"]["FID_latent/backbone"] == "random-he"
 
 
 @pytest.mark.slow

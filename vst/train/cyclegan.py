@@ -269,18 +269,23 @@ class CycleGANTrainer:
             fake_A2 = self._g_apply("G_B", p, real_B2)
             rec_B2 = self._g_apply("G_A", p, fake_A2)
 
-            # flows on real pairs carry no G gradient; flows on rec pairs DO
-            # (RAFT is differentiable; reference backprops through it)
+            # ALL RAFT flows are detached: the reference's computeRAFT is
+            # wrapped in torch.no_grad() (MoGAN/models/cycle_gan_model.py:
+            # 131-137), including the rec-pair flows — so the motion-cycle
+            # term MC = mask·|bf_rec − bf_real| carries NO generator
+            # gradient there (a conscious parity quirk, kept: it is a
+            # logged consistency metric, and dropping the differentiable
+            # RAFT backward removes ~8 saved GRU graphs from HBM)
             ff_A = jax.lax.stop_gradient(self._compute_raft(real_A, real_A2))
             bf_A = jax.lax.stop_gradient(self._compute_raft(real_A2, real_A))
-            bf_rec_A = self._compute_raft(rec_A2, rec_A)
+            bf_rec_A = jax.lax.stop_gradient(self._compute_raft(rec_A2, rec_A))
             mask_A = jax.lax.stop_gradient(fbc_mask(ff_A, bf_A))
             bf_M_A = jax.lax.stop_gradient(aux["bf_M_A"])
             warp_B = warp(fake_B, bf_M_A)
 
             ff_B = jax.lax.stop_gradient(self._compute_raft(real_B, real_B2))
             bf_B = jax.lax.stop_gradient(self._compute_raft(real_B2, real_B))
-            bf_rec_B = self._compute_raft(rec_B2, rec_B)
+            bf_rec_B = jax.lax.stop_gradient(self._compute_raft(rec_B2, rec_B))
             mask_B = jax.lax.stop_gradient(fbc_mask(ff_B, bf_B))
             bf_M_B = jax.lax.stop_gradient(aux["bf_M_B"])
             warp_A = warp(fake_A, bf_M_B)
