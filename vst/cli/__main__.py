@@ -429,29 +429,89 @@ def cmd_eval_sintel(args):
             ff, bf = gen.pairwise_flows(j, i)  # j = earlier, i = current
             return ff, bf
 
-    cfg = select_method(args.method, n_styles=args.n_styles)
-    styles = load_style_images(size=64)[:max(args.n_styles, 1)]
-    trainer = FastStyleTrainer(cfg, styles, seed=args.seed)
-    from vst.data.synthetic import synthetic_batch
-    import jax.numpy as jnp
-
-    sample = {k: jnp.asarray(v) for k, v in
-              synthetic_batch(1, hw=tuple(args.hw)).items()}
-    state = trainer.init_state(sample)
-    params = state.params
-    if args.ckpt_dir:
-        from vst.core import Checkpointer
-
-        ckpt = Checkpointer(args.ckpt_dir)
-        step = ckpt.latest_step()
-        params = ckpt.restore(step, params=params)["params"]
-
     raft_apply = _make_raft(args)
-    results = evaluate_sintel_faststyle(
-        trainer, params, videos, raft_apply,
-        styles=list(range(max(args.n_styles, 3))),
-        out_path=args.out_dir, dt_iters=args.dt_iters, flow_fn=flow_fn,
-    )
+    from vst.core import Checkpointer
+
+    if args.family == "faststyle":
+        cfg = select_method(args.method, n_styles=args.n_styles)
+        styles = load_style_images(size=64)[:max(args.n_styles, 1)]
+        trainer = FastStyleTrainer(cfg, styles, seed=args.seed)
+        from vst.data.synthetic import synthetic_batch
+        import jax.numpy as jnp
+
+        sample = {k: jnp.asarray(v) for k, v in
+                  synthetic_batch(1, hw=tuple(args.hw)).items()}
+        state = trainer.init_state(sample)
+        params = state.params
+        if args.ckpt_dir:
+            ckpt = Checkpointer(args.ckpt_dir)
+            params = ckpt.restore(ckpt.latest_step(), params=params)["params"]
+        results = evaluate_sintel_faststyle(
+            trainer, params, videos, raft_apply,
+            styles=list(range(max(args.n_styles, 3))),
+            out_path=args.out_dir, dt_iters=args.dt_iters, flow_fn=flow_fn,
+        )
+    elif args.family == "stargan":
+        # StarGAN v1 Sintel eval (solver.py:639-721): G conditioned on the
+        # target-domain one-hot, domains 1..c_dim-1 as styles
+        from vst.eval.drivers import evaluate_sintel_stargan
+        from vst.train.stargan import StarGANConfig, StarGANTrainer
+
+        cfg = StarGANConfig(c_dim=args.num_domains, image_size=128)
+        trainer = StarGANTrainer(cfg, seed=args.seed)
+        state = trainer.init_state(args.seed)
+        g_params = state.g_params
+        if args.ckpt_dir:
+            ckpt = Checkpointer(args.ckpt_dir)
+            g_params = ckpt.restore(ckpt.latest_step(), G=g_params)["G"]
+        results = evaluate_sintel_stargan(
+            trainer, g_params, videos, raft_apply, c_dim=args.num_domains,
+            out_path=args.out_dir, dt_iters=args.dt_iters, flow_fn=flow_fn)
+    elif args.family == "stargan2":
+        # StarGAN-v2 Sintel eval via mapping-network latent styles
+        # (core/solver.py:268-356); EMA nets like the reference
+        from vst.eval.drivers import evaluate_sintel_stargan2
+        from vst.train.stargan2 import StarGAN2Config, StarGAN2Trainer
+
+        cfg = StarGAN2Config(img_size=256, num_domains=args.num_domains)
+        trainer = StarGAN2Trainer(cfg, seed=args.seed)
+        state = trainer.init_state(args.seed)
+        params = state.ema
+        if args.ckpt_dir:
+            ckpt = Checkpointer(args.ckpt_dir)
+            params = ckpt.restore(ckpt.latest_step(),
+                                  nets_ema=state.ema)["nets_ema"]
+        results = evaluate_sintel_stargan2(
+            trainer, params, videos, raft_apply,
+            num_domains=args.num_domains, out_path=args.out_dir,
+            dt_iters=args.dt_iters, flow_fn=flow_fn)
+    elif args.family == "cyclegan":
+        # one model per style (fc2_eval.py:248-251); --ckpt-dir takes a
+        # comma-list "variant:dir" (or plain dirs, variant=cyclegan)
+        from vst.eval.drivers import cyclegan_stylize_fn
+        from vst.eval.sintel import evaluate_videos
+        from vst.train.cyclegan import CycleGANConfig, CycleGANTrainer
+
+        tps = []
+        for spec in (args.ckpt_dir or "").split(","):
+            if not spec:
+                continue
+            variant, _, d = spec.rpartition(":")
+            variant = variant or "cyclegan"
+            tr = CycleGANTrainer(CycleGANConfig(variant=variant),
+                                 image_hw=(256, 256), seed=args.seed)
+            tpl = tr.init_state(args.seed).params
+            ckpt = Checkpointer(d)
+            tps.append((tr, ckpt.restore(ckpt.latest_step(), params=tpl)["params"]))
+        if not tps:
+            raise SystemExit("--ckpt-dir required for family=cyclegan")
+        results = evaluate_videos(
+            videos, cyclegan_stylize_fn(tps), raft_apply,
+            styles=list(range(len(tps))), out_path=args.out_dir,
+            frame_transform=lambda f: f * 2.0 - 1.0,
+            dt_iters=args.dt_iters, flow_fn=flow_fn)
+    else:
+        raise SystemExit(f"unknown family {args.family}")
     print({k: v[f"{k}_mean"] for k, v in results.items()})
 
 
@@ -856,7 +916,10 @@ def main(argv=None):
 
     p = sub.add_parser("eval-sintel")
     _add_common(p)
+    p.add_argument("--family", default="faststyle",
+                   choices=["faststyle", "stargan", "stargan2", "cyclegan"])
     p.add_argument("--method", default="johnson")
+    p.add_argument("--num-domains", type=int, default=4)
     p.add_argument("--n-styles", type=int, default=3)
     p.add_argument("--sintel-dir", type=str, default=None)
     p.add_argument("--ckpt-dir", type=str, default=None)
