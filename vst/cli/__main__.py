@@ -551,6 +551,40 @@ def cmd_eval_fc2(args):
     batches = _fc2_eval_batches(args, num_dom)
     step = 0
 
+    if args.family == "obst":
+        # OBST FC2 protocol (obst_eval.py:570-724) computes its own
+        # TCL/FID (no LPIPS) with warp-warm-started frame-2 stylization;
+        # it bypasses calculate_metrics. Mirrors the reference's
+        # committed eval_fc2/{0,2000}/{FID,TCL}.json golden layout.
+        import os as _os
+
+        from vst.data.styles import load_style_images
+        from vst.eval.drivers import evaluate_fc2_obst
+        from vst.metrics.fid import InceptionV3
+        from vst.models.gatys import OBST
+
+        for b in batches:  # harness speaks [−1,1]; OBST expects [0,1]
+            for k in ("x_src", "x2_src", "x_ref"):
+                b[k] = (np.asarray(b[k]) + 1.0) / 2.0
+        styles = np.stack(load_style_images(args.style_dir, size=256)[:3])
+        H, W = args.hw
+        L = len(args.iters_pyr)
+        pyr = tuple((H >> (L - 1 - i), W >> (L - 1 - i)) for i in range(L))
+        obst = OBST(
+            max_iters=tuple(args.iters_pyr), seed=args.seed,
+            compute_dtype=jnp.bfloat16 if args.obst_bf16 else jnp.float32)
+        inception = InceptionV3(seed=0)
+        for wt in args.obst_lambdas:
+            out = _os.path.join(args.out_dir, str(int(wt)))
+            res = evaluate_fc2_obst(
+                obst, batches, jnp.asarray(styles), pyr,
+                weight_tcl=float(wt), num_domains=num_dom, out_dir=out,
+                inception=inception)
+            tcl = res["TCL"].get("TCL/mean", float("nan"))
+            fid = res["FID"].get("FID/mean", float("nan"))
+            print(f"lambda_tcl={wt}: TCL {tcl:.4f} FID {fid:.2f}")
+        return
+
     if args.family == "stargan2":
         from vst.train.stargan2 import StarGAN2Config, StarGAN2Trainer
 
@@ -957,9 +991,18 @@ def main(argv=None):
     p = sub.add_parser("eval-fc2")
     _add_common(p)
     p.add_argument("--family", default="stargan2",
-                   choices=["stargan2", "stargan", "faststyle"])
+                   choices=["stargan2", "stargan", "faststyle", "obst"])
     p.add_argument("--method", default="johnson",
                    help="faststyle head (faststyle family only)")
+    p.add_argument("--style-dir", type=str, default=None,
+                   help="style images (obst family)")
+    p.add_argument("--iters-pyr", type=int, nargs="+", default=[50, 40, 30],
+                   help="LBFGS iters per pyramid level (obst family)")
+    p.add_argument("--obst-lambdas", type=float, nargs="+",
+                   default=[0.0, 2000.0],
+                   help="weight_tcl settings, one out-subdir each (obst)")
+    p.add_argument("--obst-bf16", action="store_true",
+                   help="bf16 VGG closures (obst family)")
     p.add_argument("--mode", default="latent",
                    choices=["latent", "reference"])
     p.add_argument("--num-domains", type=int, default=4)

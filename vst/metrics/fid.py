@@ -63,7 +63,11 @@ class InceptionV3:
 
 def frechet_distance(mu, cov, mu2, cov2) -> float:
     """fid.py:56-59."""
-    cc, _ = linalg.sqrtm(np.dot(cov, cov2), disp=False)
+    cc = linalg.sqrtm(np.atleast_2d(np.dot(cov, cov2)))
+    # scipy <1.18 returns (sqrtm, errest) when disp=False; ≥1.17 without
+    # disp returns just the array — normalize both shapes of the API
+    if isinstance(cc, tuple):
+        cc = cc[0]
     dist = np.sum((mu - mu2) ** 2) + np.trace(cov + cov2 - 2 * cc)
     return float(np.real(dist))
 
