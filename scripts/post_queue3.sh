@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-3 artifact wave 3: OBST FC2 metric artifacts at both lambda_tcl
+# settings (reference golden set: methods/optimization-based/eval_fc2/
+# {0,2000}/{FID,TCL}.json — the 26.93 -> 9.69 FC2 TCL contrast).
+# Runs after post_queue2.sh drains. One TPU process at a time.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+LOG=runs/post_queue3.log
+echo "=== post_queue3 start $(date)" >> $LOG
+
+QPID=${1:?pass post_queue2.sh pid}
+while kill -0 "$QPID" 2>/dev/null; do
+  sleep 60
+done
+echo "--- post_queue2 drained $(date)" >> $LOG
+
+run() {
+  name=$1; shift
+  echo "--- $name start $(date)" >> $LOG
+  timeout 4200 "$@" >> runs/$name.stdout 2>&1
+  rc=$?
+  echo "--- $name exit=$rc $(date)" >> $LOG
+}
+
+run obst_fc2 python -m vst.cli eval-fc2 --family obst \
+  --hw 256 256 --batch-size 4 --num-domains 4 \
+  --data-dir /root/corpus --obst-lambdas 0 2000 \
+  --out-dir artifacts/obst/eval_fc2
+
+echo "=== post_queue3 done $(date)" >> $LOG
