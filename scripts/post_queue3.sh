@@ -28,4 +28,17 @@ run obst_fc2 python -m vst.cli eval-fc2 --family obst \
   --data-dir /root/corpus --obst-lambdas 0 2000 \
   --out-dir artifacts/obst/eval_fc2
 
+# Sintel harness runs for the temporal CycleGAN variants trained this
+# round (ConGAN, MoGAN) — completes the per-method golden-JSON set
+if [ -d runs/congan ]; then
+  run eval_congan python -m vst.cli eval-sintel --family cyclegan \
+    --ckpt-dir "congan:runs/congan" --hw 436 1024 \
+    --out-dir artifacts/congan/eval_sintel
+fi
+if [ -d runs/mogan ]; then
+  run eval_mogan python -m vst.cli eval-sintel --family cyclegan \
+    --ckpt-dir "mogan:runs/mogan" --hw 436 1024 \
+    --out-dir artifacts/mogan/eval_sintel
+fi
+
 echo "=== post_queue3 done $(date)" >> $LOG

@@ -498,8 +498,12 @@ def cmd_eval_sintel(args):
                 continue
             variant, _, d = spec.rpartition(":")
             variant = variant or "cyclegan"
-            tr = CycleGANTrainer(CycleGANConfig(variant=variant),
-                                 image_hw=(256, 256), seed=args.seed)
+            tr = CycleGANTrainer(
+                CycleGANConfig(variant=variant), image_hw=(256, 256),
+                # mogan/congan trainers bind RAFT for their in-graph flow
+                # losses; inference (G_A only) never calls it
+                raft_apply=raft_apply if variant in ("mogan", "congan")
+                else None, seed=args.seed)
             tpl = tr.init_state(args.seed).params
             ckpt = Checkpointer(d)
             tps.append((tr, ckpt.restore(ckpt.latest_step(), params=tpl)["params"]))
