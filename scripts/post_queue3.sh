@@ -23,6 +23,9 @@ run() {
   echo "--- $name exit=$rc $(date)" >> $LOG
 }
 
+# which Pallas kernels does the real Mosaic toolchain accept?
+run pallas_probe python scripts/probe_pallas_tpu.py artifacts/pallas_probe.json
+
 run obst_fc2 python -m vst.cli eval-fc2 --family obst \
   --hw 256 256 --batch-size 4 --num-domains 4 \
   --data-dir /root/corpus --obst-lambdas 0 2000 \

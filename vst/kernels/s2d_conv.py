@@ -76,10 +76,17 @@ def s2d_conv2d(x: jnp.ndarray, w: jnp.ndarray, f: int = 4) -> jnp.ndarray:
                      (0, 0)))
     Hp2, Wp2 = xp.shape[1], xp.shape[2]
 
-    if B == 1 and Wp2 % f == 0:
+    import os
+
+    if (B == 1 and Wp2 % f == 0
+            and os.environ.get("VST_PALLAS_RELAYOUT") == "1"):
         # batch-1 inference: the s2d/d2s layout passes run as Pallas
         # register relayouts (XLA lowers them as HBM gathers costing
-        # ~0.8 ms each at the stem/head shapes — scripts/bisect_stages.py)
+        # ~0.8 ms each at the stem/head shapes — scripts/bisect_stages.py).
+        # OPT-IN: the register reshape/transpose hits Mosaic
+        # "infer-vector-layout: unsupported shape cast" on real v5e
+        # (compiles only in CPU interpret mode), so the default stays the
+        # XLA reshape∘transpose relayout below.
         from vst.kernels.pallas_conv import pallas_d2s, pallas_s2d
 
         xs = pallas_s2d(xp, f)
