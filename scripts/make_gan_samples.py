@@ -23,7 +23,15 @@ def main():
     n_cols = 4
 
     cfg = CycleGANConfig(variant=variant)
-    trainer = CycleGANTrainer(cfg, image_hw=(256, 256), seed=0)
+    # mogan/congan trainers assert a bound RAFT for their in-graph flow
+    # losses; sample generation (G_A/G_B only) never invokes it
+    stub_raft = None
+    if variant in ("mogan", "congan"):
+        def stub_raft(i1, i2):
+            d = jnp.mean(i1 - i2, axis=-1, keepdims=True)
+            return None, jnp.concatenate([d, -d], axis=-1)
+    trainer = CycleGANTrainer(cfg, image_hw=(256, 256), raft_apply=stub_raft,
+                              seed=0)
     tpl = trainer.init_state(0).params
     ck = Checkpointer(run_dir)
     params = ck.restore(ck.latest_step(), params=tpl)["params"]
