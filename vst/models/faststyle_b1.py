@@ -36,8 +36,16 @@ def _conv(x, w, b, stride=1, pad=1):
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
 
 
-def b1_stylize(params, x, style_strength=1.0, style_id=0, n_styles: int = 1):
-    """x: (1, H, W, 3), H, W divisible by 4. Returns (features, styled)."""
+def b1_stylize(params, x, style_strength=1.0, style_id=0, n_styles: int = 1,
+               trunk: str = "pallas", decoder: str = "pallas"):
+    """x: (1, H, W, 3), H, W divisible by 4. Returns (features, styled).
+
+    ``trunk``/``decoder`` select per-stage implementations so the bench can
+    fall back independently when a Pallas kernel is rejected by the TPU
+    toolchain: trunk = "pallas" (fused res-block kernels) | "xla";
+    decoder = "pallas" (in-VMEM subpixel) | "fold" (XLA folded coarse-res
+    conv + d2s, the round-2 path). All combinations are exact forwards of
+    the same param tree."""
     B, H, W, _ = x.shape
     assert B == 1 and H % 4 == 0 and W % 4 == 0
 
@@ -62,17 +70,32 @@ def b1_stylize(params, x, style_strength=1.0, style_id=0, n_styles: int = 1):
         w2, b2 = _conv_w(blk, "ConvLayer_1", "TorchConv_0")
         n0 = blk["InstanceNorm_0"]
         n1 = blk["InstanceNorm_1"]
-        h = res_block_pallas(
-            h, w1, b1, n0["scale"], n0["bias"],
-            w2, b2, n1["scale"], n1["bias"], strength)
+        if trunk == "pallas":
+            h = res_block_pallas(
+                h, w1, b1, n0["scale"], n0["bias"],
+                w2, b2, n1["scale"], n1["bias"], strength)
+        else:
+            t = jax.nn.relu(
+                instance_norm(_conv(h, w1, b1)) * n0["scale"] + n0["bias"])
+            t = instance_norm(_conv(t, w2, b2)) * n1["scale"] + n1["bias"]
+            h = strength * t + h
 
     features = h
 
     # decoder: fused subpixel up-convs
+    if decoder == "pallas":
+        def up2(h, w, b):
+            return up2_conv_subpixel_pallas(h, w, b)
+    else:
+        from vst.kernels.layout import up2_conv_subpixel
+
+        def up2(h, w, b):
+            return up2_conv_subpixel(h, w) + b
+
     w, b = _conv_w(params, "UpsampleConvLayer_0", "TorchConv_0")
-    h = norm_relu(up2_conv_subpixel_pallas(h, w, b), 3)
+    h = norm_relu(up2(h, w, b), 3)
     w, b = _conv_w(params, "UpsampleConvLayer_1", "TorchConv_0")
-    h = norm_relu(up2_conv_subpixel_pallas(h, w, b), 4)
+    h = norm_relu(up2(h, w, b), 4)
 
     # head (9×9 → 3ch, tanh epilogue; network.py:292-296)
     w, b = _conv_w(params, "ConvTanh_0", "ConvLayer_0", "TorchConv_0")
