@@ -26,6 +26,14 @@ run() {
 # which Pallas kernels does the real Mosaic toolchain accept?
 run pallas_probe python scripts/probe_pallas_tpu.py artifacts/pallas_probe.json
 
+# re-run MoGAN with the merged E/M-step logging (the first run's
+# losses.txt only captured the M-step AM losses); identical program →
+# server compile cache makes this fast
+run mogan_relog python -m vst.cli train-cyclegan --variant mogan \
+  --sid 1 --data-dir /root/corpus --device-cache 1000 \
+  --steps 1500 --batch-size 2 --hw 256 256 --raft-iters 8 \
+  --out-dir runs/mogan --log-every 50
+
 run obst_fc2 python -m vst.cli eval-fc2 --family obst \
   --hw 256 256 --batch-size 4 --num-domains 4 \
   --data-dir /root/corpus --obst-lambdas 0 2000 \

@@ -187,6 +187,10 @@ def cmd_train_cyclegan(args):
                 j += 4
 
     i = 0
+    merged = {}  # mogan alternates E/M steps whose metric sets are
+    # disjoint; log the union so losses.txt shows BOTH descent curves
+    # (with log_every even, the bare metrics dict would always be the
+    # M-step's AM losses and the E-step would never be recorded)
     for b in cyclegan_batches():
         batch = {k: jnp.asarray(v) for k, v in b.items()}
         rng, sub = jax.random.split(rng)
@@ -194,10 +198,11 @@ def cmd_train_cyclegan(args):
             state, metrics = m_step(state, batch)
         else:
             state, metrics = e_step(state, batch, sub)
+        merged.update(metrics)
         i += 1
         if i % args.log_every == 0:
-            logger.log(i, **{k: float(v) for k, v in metrics.items()})
-            print(f"[{i}/{args.steps}] G: {float(metrics.get('G', 0)):.3f}",
+            logger.log(i, **{k: float(v) for k, v in merged.items()})
+            print(f"[{i}/{args.steps}] G: {float(merged.get('G', 0)):.3f}",
                   flush=True)
         if i % args.ckpt_every == 0 or i == args.steps:
             ckpt.save(i, params=state.params)
