@@ -219,3 +219,34 @@ def test_raft_bf16_update_block_close_to_f32():
     denom = np.abs(np.asarray(f32)).mean() + 1e-6
     rel = np.abs(np.asarray(f32) - np.asarray(f16)).mean() / denom
     assert rel < 0.2, rel
+
+
+def test_raft_rejects_non_multiple_of_8():
+    """Same contract as the reference: sintel frames (436 high) must go
+    through InputPadder (utils/raft/raft/utils/utils.py:9-24) before RAFT.
+    At H=436 the ceil-mode encoder fmap (55 rows) disagrees with the H//8
+    coords grid (54) — the model must fail loudly, not with a reshape error
+    deep inside the corr lookup."""
+    raft = RAFT(small=True, iters=2)
+    img = jnp.zeros((1, 52, 64, 3), jnp.float32)  # 52 % 8 == 4
+    with pytest.raises(ValueError, match="divisible by 8"):
+        raft.init(jax.random.PRNGKey(0), img, img)
+
+
+@pytest.mark.slow
+def test_make_raft_pads_init_to_multiple_of_8():
+    """cli._make_raft at Sintel hw=(436,1024) must init at the padded shape
+    (regression: round-3 wave-2 evals all crashed in raft.init)."""
+    import argparse
+
+    from vst.cli.__main__ import _make_raft
+    from vst.ops.image import InputPadder
+
+    args = argparse.Namespace(hw=(52, 64), raft_iters=2, raft_ckpt=None,
+                              raft_bf16=False)
+    apply_fn = _make_raft(args)
+    img = jnp.zeros((1, 52, 64, 3), jnp.float32)
+    padder = InputPadder(img.shape)
+    i1, i2 = padder.pad(img, img)
+    _, up = apply_fn(i1, i2)
+    assert padder.unpad(up).shape == (1, 52, 64, 2)

@@ -393,7 +393,11 @@ def _make_raft(args):
     raft = RAFT(small=False, iters=args.raft_iters, pallas_lookup=on_tpu,
                 encoder_dtype=jnp.bfloat16 if use_bf16 else None)
     H, W = args.hw
-    img = jnp.zeros((1, H, W, 3), jnp.float32)
+    # RAFT is fully convolutional: params are shape-independent, but the
+    # init trace must satisfy the multiple-of-8 contract (the eval loop
+    # pads frames with InputPadder before apply).
+    H8, W8 = -(-H // 8) * 8, -(-W // 8) * 8
+    img = jnp.zeros((1, H8, W8, 3), jnp.float32)
     params = raft.init(jax.random.PRNGKey(0), img, img)
     if args.raft_ckpt:
         import torch
@@ -860,9 +864,9 @@ def cmd_bench_raft(args):
     for name, enc_dtype in (("f32", None), ("bf16_enc", jnp.bfloat16)):
         raft = RAFT(small=False, iters=args.raft_iters, pallas_lookup=on_tpu,
                     encoder_dtype=enc_dtype)
-        params = raft.init(jax.random.PRNGKey(0), img1, img2)
         padder = InputPadder(img1.shape)
         i1, i2 = padder.pad(img1, img2)
+        params = raft.init(jax.random.PRNGKey(0), i1, i2)
         a = jnp.concatenate([i1, i2], axis=0)
         b = jnp.concatenate([i2, i1], axis=0)
 

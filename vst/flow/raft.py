@@ -416,6 +416,15 @@ class RAFT(nn.Module):
         inp = nn.relu(inp)
 
         B, H, W, _ = image1.shape
+        if H % 8 or W % 8:
+            # Same contract as the reference (callers wrap InputPadder,
+            # utils/raft/raft/utils/utils.py:9-24): at e.g. H=436 the
+            # ceil-mode stride-2 encoder yields a 55-row fmap while the
+            # H//8 coords grid has 54 — fail with a real message instead
+            # of a deep reshape error.
+            raise ValueError(
+                f"RAFT requires H, W divisible by 8 (got {H}x{W}); "
+                "pad with vst.ops.image.InputPadder first")
         coords0 = coords_grid(B, H // 8, W // 8)
         coords1 = coords_grid(B, H // 8, W // 8)
         if flow_init is not None:
