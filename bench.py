@@ -87,6 +87,8 @@ def main():
         # batch >= 4 where the phase-dense kernels saturate the MXU
         ("bf16_b8_fast", jnp.bfloat16, 8, "fast"),
         ("bf16_b16_fast", jnp.bfloat16, 16, "fast"),
+        ("bf16_b32_fast", jnp.bfloat16, 32, "fast"),
+        ("bf16_b32", jnp.bfloat16, 32, "natural"),
     ]
     results = {}
     from vst.core.trace import annotate, profile_trace
@@ -128,6 +130,8 @@ def main():
         "methodology": "chained-loop device latency; best-of-3 (mean also reported)",
         "best_config": best_name,
         "device": str(jax.devices()[0]),
+        # full per-path breakdown (ms/frame, best-of-3) for diagnosis
+        "paths_ms": {k: round(v[1], 3) for k, v in results.items()},
     }
     if failed:
         out["failed_paths"] = failed

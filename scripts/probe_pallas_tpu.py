@@ -18,11 +18,32 @@ import jax
 import jax.numpy as jnp
 
 
-def _probe(name, fn, *args):
+def _time(fn, iters=30):
+    import time
+
+    jax.tree.map(lambda a: np.asarray(a), fn())  # warm + sync
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn()
+        jax.tree.map(lambda a: np.asarray(a), out)  # end-of-window sync
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best * 1000.0
+
+
+def _probe(name, fn, ref=None):
+    """Compile+run verdict, plus isolated best-of-3 timings for the kernel
+    and (when given) its XLA-reference implementation of the same math."""
     try:
-        out = jax.jit(fn)(*args)
+        jitted = jax.jit(fn)
+        out = jitted()
         jax.tree.map(lambda a: np.asarray(a), out)
-        return name, {"ok": True}
+        rec = {"ok": True, "ms": round(_time(jitted), 4)}
+        if ref is not None:
+            rec["xla_ms"] = round(_time(jax.jit(ref)), 4)
+        return name, rec
     except Exception as e:  # noqa: BLE001 — record the toolchain verdict
         msg = str(e)
         return name, {"ok": False, "error": f"{type(e).__name__}: {msg[:200]}"}
@@ -31,28 +52,56 @@ def _probe(name, fn, *args):
 def main():
     report = {"device": str(jax.devices()[0])}
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(1, 64, 256, 64).astype(np.float32))
-    w = jnp.asarray(rng.rand(3, 3, 64, 64).astype(np.float32) * 0.1)
-    b = jnp.zeros((64,), jnp.float32)
+    # PRODUCTION shapes: the Johnson b1 trunk/decoder stages at 436×1024
+    # (trunk (1,109,256,128); dec1 →(218,512,64); dec2 →(436,1024,32))
+    x = jnp.asarray(rng.rand(1, 109, 256, 128).astype(np.float32))
+    w = jnp.asarray(rng.rand(3, 3, 128, 128).astype(np.float32) * 0.1)
+    b = jnp.zeros((128,), jnp.float32)
+    wd1 = jnp.asarray(rng.rand(3, 3, 128, 64).astype(np.float32) * 0.1)
+    bd1 = jnp.zeros((64,), jnp.float32)
+    xd2 = jnp.asarray(rng.rand(1, 218, 512, 64).astype(np.float32))
+    wd2 = jnp.asarray(rng.rand(3, 3, 64, 32).astype(np.float32) * 0.1)
+    bd2 = jnp.zeros((32,), jnp.float32)
 
     from vst.kernels.pallas_conv import (
-        conv3x3_block_pallas, conv3x3_reflect, pallas_d2s, pallas_s2d,
-        res_block_pallas, up2_conv_subpixel_pallas)
+        conv3x3_block_pallas, conv3x3_reflect, conv3x3_reflect_ref,
+        pallas_d2s, pallas_s2d, res_block_pallas, up2_conv_subpixel_pallas)
+    from vst.kernels.layout import up2_conv_subpixel
+    from vst.nn.norm import instance_norm
 
-    g = jnp.ones((64,), jnp.float32)
-    be = jnp.zeros((64,), jnp.float32)
+    g = jnp.ones((128,), jnp.float32)
+    be = jnp.zeros((128,), jnp.float32)
+
+    def res_block_xla(h):
+        t = jax.nn.relu(instance_norm(conv3x3_reflect_ref(h, w, b)) * g + be)
+        t = instance_norm(conv3x3_reflect_ref(t, w, b)) * g + be
+        return 1.0 * t + h
+
+    from vst.kernels.layout import d2s as d2s_xla
+    from vst.kernels.layout import s2d as s2d_xla
+
+    # stem1 s2d (padded input) and head d2s at the real shapes
+    xt = jnp.asarray(rng.rand(1, 444, 1032, 3).astype(np.float32))
+    xh = jnp.asarray(rng.rand(1, 109, 256, 48).astype(np.float32))
     probes = [
-        ("conv3x3_reflect", lambda: conv3x3_reflect(x, w, b)),
-        ("conv3x3_block", lambda: conv3x3_block_pallas(x, w, b)[0]),
+        ("conv3x3_reflect", lambda: conv3x3_reflect(x, w, b),
+         lambda: conv3x3_reflect_ref(x, w, b)),
+        ("conv3x3_block", lambda: conv3x3_block_pallas(x, w, b)[0], None),
         ("res_block", lambda: res_block_pallas(x, w, b, g, be, w, b, g, be,
-                                               jnp.float32(1.0))),
-        ("up2_conv_subpixel", lambda: up2_conv_subpixel_pallas(x, w, b)),
-        ("s2d_relayout", lambda: pallas_s2d(x, 4)),
-        ("d2s_relayout", lambda: pallas_d2s(
-            jnp.asarray(rng.rand(1, 16, 64, 64).astype(np.float32)), 4, 4)),
+                                               jnp.float32(1.0)),
+         lambda: res_block_xla(x)),
+        ("up2_dec1", lambda: up2_conv_subpixel_pallas(x, wd1, bd1),
+         lambda: up2_conv_subpixel(x, wd1) + bd1),
+        ("up2_dec2", lambda: up2_conv_subpixel_pallas(xd2, wd2, bd2),
+         lambda: up2_conv_subpixel(xd2, wd2) + bd2),
+        ("s2d_relayout", lambda: pallas_s2d(xt, 4),
+         lambda: s2d_xla(xt, 4)),
+        ("d2s_relayout", lambda: pallas_d2s(xh, 4, 3),
+         lambda: d2s_xla(xh, 4, 3)),
     ]
-    for name, thunk in probes:
-        k, v = _probe(name, thunk)
+    for entry in probes:
+        name, thunk, ref = entry
+        k, v = _probe(name, thunk, ref)
         report[k] = v
         print(name, v)
 

@@ -975,7 +975,10 @@ def main(argv=None):
     p.add_argument("--raft-bf16", action=argparse.BooleanOptionalAction,
                    default=None, help="bf16 RAFT encoders (default: on for "
                    "TPU; --no-raft-bf16 runs the instrument at reference f32)")
-    p.add_argument("--dt-iters", type=int, default=5)
+    # 20 chained iterations amortize the tunneled backend's end-of-window
+    # sync RTT to <0.5 ms/frame (at the default 5 the sync added ~4 ms to
+    # every committed DT mean; bench.py uses 20 for the same reason)
+    p.add_argument("--dt-iters", type=int, default=20)
     p.set_defaults(fn=cmd_eval_sintel)
 
     p = sub.add_parser("bench-raft")

@@ -208,6 +208,16 @@ def up2_conv_subpixel_pallas(x, w, b, row_tile: int = 8,
 
     x: (1, h, w, Ci); w: (3, 3, Ci, Co) torch-layout; b: (Co,).
     Returns (1, 2h, 2w, Co). Reference stage: network.py:173-191.
+
+    Mosaic-safe structure: the row phase py is a second GRID axis rather
+    than an in-register depth-to-space (v1's
+    reshape(R,w,2,2,Co).transpose(0,2,1,3,4) was rejected by the v5e
+    toolchain — the permute splits the lane dim). Instance (t, py)
+    convolves its row tile against the py-half of the folded kernel
+    (selected by the weight BlockSpec index_map — no register slicing)
+    and stores rows of parity py; the (w, px, Co) → (2w, Co) column
+    interleave and the row interleave are contiguous reinterpretations
+    done by ONE free XLA reshape outside the kernel.
     """
     from vst.kernels.layout import fold_up2_kernel
 
@@ -216,6 +226,9 @@ def up2_conv_subpixel_pallas(x, w, b, row_tile: int = 8,
     _, h, wd, Ci = x.shape
     Co = w.shape[-1]
     wf = fold_up2_kernel(w)  # (3, 3, Ci, 4·Co), phase order (py·2+px)·Co+c
+    # split by py → (2, 3, 3, Ci, 2·Co), each half's channels (px, Co)
+    wf = wf.reshape(3, 3, Ci, 2, 2 * Co).transpose(3, 0, 1, 2, 4)
+    b2 = jnp.tile(b, 2)  # (2·Co,), order (px, Co)
     R = row_tile
     n_tiles = pl.cdiv(h, R)
     last = n_tiles - 1
@@ -276,40 +289,41 @@ def up2_conv_subpixel_pallas(x, w, b, row_tile: int = 8,
         # edge column pad: duplicate first/last columns
         xp = jnp.concatenate([xv[:, 0:1], xv, xv[:, wd - 1:wd]], axis=1)
 
-        acc = jnp.zeros((R * wd, 4 * Co), jnp.float32)
+        acc = jnp.zeros((R * wd, 2 * Co), jnp.float32)
         for dy in range(3):
             for dx in range(3):
                 tap = xp[dy:dy + R, dx:dx + wd]
                 acc = acc + jax.lax.dot_general(
-                    tap.reshape(R * wd, Ci), w_ref[dy, dx],
+                    tap.reshape(R * wd, Ci), w_ref[0, dy, dx],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-        acc = acc + jnp.tile(b_ref[...].astype(jnp.float32), 4)
-        # depth-to-space in-register: (R, w, py, px, Co) → (2R, 2w, Co)
-        y = acc.reshape(R, wd, 2, 2, Co).transpose(0, 2, 1, 3, 4)
-        y_ref[...] = y.reshape(1, 2 * R, 2 * wd, Co).astype(y_ref.dtype)
+        acc = acc + b_ref[...].astype(jnp.float32)
+        y_ref[...] = acc.reshape(1, R, 1, wd, 2 * Co).astype(y_ref.dtype)
 
-    Hp = n_tiles * R
     y = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles, 2),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 3, Ci, 2 * Co),
+                         lambda t, p: (p, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 2 * R, 2 * wd, Co), lambda t: (0, t, 0, 0),
+            (1, R, 1, wd, 2 * Co), lambda t, p: (0, t, p, 0, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 2 * Hp, 2 * wd, Co), x.dtype),
+        # exact shape (boundary blocks masked) so the reshape below is free
+        out_shape=jax.ShapeDtypeStruct((1, h, 2, wd, 2 * Co), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((R + 2, wd, Ci), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(x, wf.astype(x.dtype), b.astype(x.dtype))
-    return y[:, :2 * h]
+    )(x, wf.astype(x.dtype), b2.astype(x.dtype))
+    # (h, py, w, px, Co) contiguous ≡ (2h, 2w, Co): free reinterpretation
+    return y.reshape(1, 2 * h, 2 * wd, Co)
 
 
 def _up2_subpixel_ref(x, w, b):
@@ -520,68 +534,80 @@ def res_block_pallas(h, w1, b1, g1, be1, w2, b2, g2, be2, strength,
 def pallas_d2s(x_s, f: int, C: int, row_tile: int = 4,
                interpret: bool = False):
     """Depth-to-space S_f(1, Hs, Ws, f²·C) → T(1, f·Hs, f·Ws, C) as a
-    single Pallas relayout: the permute happens in registers between the
-    (auto-pipelined) input-block read and output-block write. XLA lowers
-    the same reshape∘transpose∘reshape as an HBM gather costing ~0.8 ms
-    at the stem1/head shapes (scripts/bisect_stages.py); the HBM floor is
-    read+write only."""
+    Pallas relayout. XLA lowers the same reshape∘transpose∘reshape as an
+    HBM gather costing ~0.8 ms at the stem1/head shapes
+    (scripts/bisect_stages.py); the HBM floor is read+write only.
+
+    Mosaic-safe formulation (v1 was rejected on real v5e:
+    "infer-vector-layout: unsupported shape cast" — the register
+    transpose split the lane dim): block the row-phase py over a second
+    GRID axis. Instance (t, p) copies the channel slab
+    x_s[..., p·fC:(p+1)·fC] — whose inner order is (px, C), phase order
+    (py·f+px)·C+c — into output rows of parity p. Within a row the
+    (Ws, px, C) → (f·Ws, C) interleave and across rows the
+    (Hs, py, …) → (f·Hs, …) interleave are CONTIGUOUS reinterpretations,
+    done by free XLA reshapes outside the kernel; no register op ever
+    crosses the lane boundary (the kernel body is a unit-dim reshape)."""
     if jax.default_backend() == "cpu":
         interpret = True
     _, Hs, Ws, Cf = x_s.shape
     assert Cf == f * f * C
+    fC = f * C
     R = row_tile
     n_tiles = pl.cdiv(Hs, R)
 
     def kernel(x_ref, y_ref):
-        v = x_ref[...].reshape(R, Ws, f, f, C)
-        v = v.transpose(0, 2, 1, 3, 4)
-        y_ref[...] = v.reshape(1, f * R, f * Ws, C)
+        y_ref[...] = x_ref[...].reshape(1, R, 1, Ws, fC)
 
     y = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((1, R, Ws, Cf), lambda t: (0, t, 0, 0),
+        grid=(n_tiles, f),
+        in_specs=[pl.BlockSpec((1, R, Ws, fC), lambda t, p: (0, t, 0, p),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, f * R, f * Ws, C),
-                               lambda t: (0, t, 0, 0),
+        out_specs=pl.BlockSpec((1, R, 1, Ws, fC),
+                               lambda t, p: (0, t, p, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (1, f * n_tiles * R, f * Ws, C), x_s.dtype),
+        # exact (non-grid-padded) shape: Pallas masks boundary blocks, and
+        # the final reinterpretation below stays a FREE reshape (a crop
+        # would turn it into a copy)
+        out_shape=jax.ShapeDtypeStruct((1, Hs, f, Ws, fC), x_s.dtype),
         interpret=interpret,
     )(x_s)
-    return y[:, :f * Hs]
+    # (Hs, py, Ws, px, C) → (f·Hs, f·Ws, C): contiguous → free reshape
+    return y.reshape(1, f * Hs, f * Ws, C)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def pallas_s2d(x, f: int, row_tile: int = 4, interpret: bool = False):
     """Space-to-depth T(1, H, W, C) → S_f(1, H/f, W/f, f²·C), the inverse
-    relayout of pallas_d2s (same register-permute structure)."""
+    relayout of pallas_d2s (same grid-phase structure, directions
+    swapped: the input is pre-viewed as (Hs, py, Ws, px·C) for free and
+    instance (t, p) writes channel slab p)."""
     if jax.default_backend() == "cpu":
         interpret = True
     _, H, W, C = x.shape
     assert H % f == 0 and W % f == 0
     Hs, Ws = H // f, W // f
+    fC = f * C
     R = row_tile
     n_tiles = pl.cdiv(Hs, R)
+    xv = x.reshape(1, Hs, f, Ws, fC)  # contiguous view, free
 
     def kernel(x_ref, y_ref):
-        v = x_ref[...].reshape(R, f, Ws, f, C)
-        v = v.transpose(0, 2, 1, 3, 4)
-        y_ref[...] = v.reshape(1, R, Ws, f * f * C)
+        y_ref[...] = x_ref[...].reshape(1, R, Ws, fC)
 
     y = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((1, f * R, W, C), lambda t: (0, t, 0, 0),
+        grid=(n_tiles, f),
+        in_specs=[pl.BlockSpec((1, R, 1, Ws, fC),
+                               lambda t, p: (0, t, p, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, R, Ws, f * f * C),
-                               lambda t: (0, t, 0, 0),
+        out_specs=pl.BlockSpec((1, R, Ws, fC), lambda t, p: (0, t, 0, p),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (1, n_tiles * R, Ws, f * f * C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((1, Hs, Ws, f * f * C), x.dtype),
         interpret=interpret,
-    )(x)
-    return y[:, :Hs]
+    )(xv)
+    return y
 
 
 # the two relayouts are exact adjoints of each other
