@@ -27,12 +27,14 @@ def _measure(model, dtype, batch, H, W, iters=20, path="natural"):
     )["params"]
     params = jax.tree.map(lambda x: x.astype(dtype), params)
 
-    if path == "fast":
+    if path in ("fast", "fastp"):
         from vst.models.faststyle_fast import fast_stylize
+
+        trunk = "pallas" if path == "fastp" else "xla"
 
         @jax.jit
         def stylize(p, img):
-            _, out = fast_stylize(p, img, 1.0, 0, n_styles=3)
+            _, out = fast_stylize(p, img, 1.0, 0, n_styles=3, trunk=trunk)
             return jnp.clip(out / 255.0, 0.0, 1.0)
     elif path.startswith("b1"):
         # fused-Pallas latency path (vst/models/faststyle_b1.py);
@@ -89,6 +91,8 @@ def main():
         ("bf16_b16_fast", jnp.bfloat16, 16, "fast"),
         ("bf16_b32_fast", jnp.bfloat16, 32, "fast"),
         ("bf16_b32", jnp.bfloat16, 32, "natural"),
+        # fast path with the batched fused-Pallas res-block trunk
+        ("bf16_b16_fastp", jnp.bfloat16, 16, "fastp"),
     ]
     results = {}
     from vst.core.trace import annotate, profile_trace

@@ -207,6 +207,31 @@ def test_res_block_pallas_matches_xla_block():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
 
+    # batched: grid gains a batch axis; instance-norm stats stay
+    # per-sample (must NOT average across the batch)
+    hb = jnp.asarray(rng.randn(3, 24, 128, C).astype(np.float32))
+    yb = jax.nn.relu(instance_norm(conv(hb, w1, b1)) * g1 + be1)
+    refb = 0.8 * (instance_norm(conv(yb, w2, b2)) * g2 + be2) + hb
+    gotb = res_block_pallas(hb, w1, b1, g1, be1, w2, b2, g2, be2, 0.8)
+    np.testing.assert_allclose(np.asarray(gotb), np.asarray(refb),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fast_stylize_pallas_trunk_matches_apply():
+    """fast_stylize(trunk='pallas') (batched fused res-blocks) is an exact
+    forward of the same param tree."""
+    from vst.models.faststyle import FastStyleNet
+    from vst.models.faststyle_fast import fast_stylize
+
+    rng = np.random.RandomState(5)
+    m = FastStyleNet(n_styles=3)
+    x = jnp.asarray(rng.rand(2, 32, 128, 3).astype(np.float32))
+    p = m.init(jax.random.PRNGKey(0), x[:1], 1.0, 0)["params"]
+    _, want = m.apply({"params": p}, x, 0.9, 2)
+    _, got = fast_stylize(p, x, 0.9, 2, n_styles=3, trunk="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-3)
+
 
 def test_pallas_layout_passes_exact_and_adjoint():
     """pallas_s2d/pallas_d2s register relayouts vs the XLA reshapes, plus

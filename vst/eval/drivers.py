@@ -284,6 +284,9 @@ def evaluate_fc2_obst(
         if d:
             d[f"{name}/mean"] = float(np.mean(
                 [v for k, v in d.items() if not k.endswith("/mean")]))
+            if name == "FID":  # metric-net provenance (cf. vst/eval/fc2.py)
+                d["FID/backbone"] = getattr(inception, "backbone",
+                                            "random-he")
         if out_dir:
             save_json(d, _os.path.join(out_dir, f"{name}.json"),
                       aggregate=False)

@@ -361,8 +361,8 @@ def conv3x3_block_pallas(x, w, b, pre_norm=None, row_tile: int = 16,
                          interpret: bool = False):
     """Res-block building kernel: optional inline pre-normalization
     (instance-norm affine + relu applied to the INPUT on the fly), fused
-    reflect-pad conv3×3, and per-channel (sum, sumsq) of the OUTPUT
-    accumulated across row tiles.
+    reflect-pad conv3×3, and per-(sample, channel) (sum, sumsq) of the
+    OUTPUT accumulated across row tiles.
 
     With two calls this computes a full FastStyleNet residual block
     (network.py:219-261) with zero standalone elementwise passes:
@@ -373,14 +373,17 @@ def conv3x3_block_pallas(x, w, b, pre_norm=None, row_tile: int = 16,
     stats pass + a normalize+relu pass + a pad materialization per conv —
     all HBM round trips this kernel absorbs into VMEM.
 
-    x: (1, H, W, C); w: (3, 3, C, C_out); pre_norm: (mean, inv_std,
-    gamma, beta) each (C,) applied as relu((x−μ)·inv·γ+β) before padding.
-    Returns (y (1, H, W, C_out), stats (2, C_out) f32 [sum, sumsq] over
-    the H·W valid pixels of y).
+    x: (B, H, W, C); w: (3, 3, C, C_out); pre_norm: (mean, inv_std,
+    gamma, beta) — mean/inv_std (B, C) per-sample, gamma/beta (C,) —
+    applied as relu((x−μ)·inv·γ+β) before padding. Returns
+    (y (B, H, W, C_out), stats (B, 2, C_out) f32 [sum, sumsq] over the
+    H·W valid pixels of y). Batches map to a second grid axis (one
+    sample's row tile per instance; instance-norm stats never cross
+    samples).
     """
     if jax.default_backend() == "cpu":
         interpret = True
-    _, H, W, C = x.shape
+    B, H, W, C = x.shape
     C_out = w.shape[-1]
     R = row_tile
     n_tiles = pl.cdiv(H, R)
@@ -393,37 +396,38 @@ def conv3x3_block_pallas(x, w, b, pre_norm=None, row_tile: int = 16,
         norm_refs = refs[3:3 + n_norm]
         y_ref, st_ref = refs[3 + n_norm], refs[4 + n_norm]
         xbuf, sem = refs[5 + n_norm], refs[6 + n_norm]
-        t = pl.program_id(0)
+        bi = pl.program_id(0)
+        t = pl.program_id(1)
         r0 = t * R
 
         def copies():
             cps = []
             if n_tiles == 1:
                 cps.append(pltpu.make_async_copy(
-                    x_hbm.at[0, pl.ds(0, H)], xbuf.at[pl.ds(1, H)], sem))
+                    x_hbm.at[bi, pl.ds(0, H)], xbuf.at[pl.ds(1, H)], sem))
                 cps.append(pltpu.make_async_copy(
-                    x_hbm.at[0, pl.ds(1, 1)], xbuf.at[pl.ds(0, 1)], sem))
+                    x_hbm.at[bi, pl.ds(1, 1)], xbuf.at[pl.ds(0, 1)], sem))
                 for i in range(H + 1, R + 2):
                     src = min(2 * H - 2 - (i - 1), H - 1)
                     cps.append(pltpu.make_async_copy(
-                        x_hbm.at[0, pl.ds(src, 1)], xbuf.at[pl.ds(i, 1)],
+                        x_hbm.at[bi, pl.ds(src, 1)], xbuf.at[pl.ds(i, 1)],
                         sem))
                 return [("all", cps)]
             first = [
-                pltpu.make_async_copy(x_hbm.at[0, pl.ds(0, R + 1)],
+                pltpu.make_async_copy(x_hbm.at[bi, pl.ds(0, R + 1)],
                                       xbuf.at[pl.ds(1, R + 1)], sem),
-                pltpu.make_async_copy(x_hbm.at[0, pl.ds(1, 1)],
+                pltpu.make_async_copy(x_hbm.at[bi, pl.ds(1, 1)],
                                       xbuf.at[pl.ds(0, 1)], sem),
             ]
             interior = [pltpu.make_async_copy(
-                x_hbm.at[0, pl.ds(r0 - 1, R + 2)], xbuf, sem)]
+                x_hbm.at[bi, pl.ds(r0 - 1, R + 2)], xbuf, sem)]
             tail = [pltpu.make_async_copy(
-                x_hbm.at[0, pl.ds(last * R - 1, body_last)],
+                x_hbm.at[bi, pl.ds(last * R - 1, body_last)],
                 xbuf.at[pl.ds(0, body_last)], sem)]
             for i in range(body_last, R + 2):
                 src = 2 * H - 2 - (last * R - 1 + i)
                 tail.append(pltpu.make_async_copy(
-                    x_hbm.at[0, pl.ds(src, 1)], xbuf.at[pl.ds(i, 1)], sem))
+                    x_hbm.at[bi, pl.ds(src, 1)], xbuf.at[pl.ds(i, 1)], sem))
             return [("first", first), ("interior", interior), ("tail", tail)]
 
         groups = copies()
@@ -446,7 +450,8 @@ def conv3x3_block_pallas(x, w, b, pre_norm=None, row_tile: int = 16,
 
         xv = xbuf[...]
         if n_norm:
-            mu, inv, gam, bet = (r[...] for r in norm_refs)
+            mu, inv = norm_refs[0][0], norm_refs[1][0]  # (C,) sample slabs
+            gam, bet = norm_refs[2][...], norm_refs[3][...]
             xv = jax.nn.relu(
                 ((xv.astype(jnp.float32) - mu) * (inv * gam) + bet)
             ).astype(xv.dtype)
@@ -473,33 +478,40 @@ def conv3x3_block_pallas(x, w, b, pre_norm=None, row_tile: int = 16,
 
         @pl.when(t == 0)
         def _():
-            st_ref[...] = jnp.zeros((2, C_out), jnp.float32)
+            st_ref[...] = jnp.zeros((1, 2, C_out), jnp.float32)
 
-        st_ref[0:1] += jnp.sum(am, axis=0, keepdims=True)
-        st_ref[1:2] += jnp.sum(am * am, axis=0, keepdims=True)
+        st_ref[0, 0:1] += jnp.sum(am, axis=0, keepdims=True)
+        st_ref[0, 1:2] += jnp.sum(am * am, axis=0, keepdims=True)
 
-    Hp = n_tiles * R
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM)]
     args = [x, w.astype(x.dtype), b.astype(x.dtype)]
     if pre_norm is not None:
-        for v in pre_norm:
+        mu, inv, gam, bet = pre_norm
+        # per-sample (B, C) stats blocked by the batch grid axis
+        in_specs.append(pl.BlockSpec((1, C), lambda bi, t: (bi, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mu.reshape(B, C).astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((1, C), lambda bi, t: (bi, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(inv.reshape(B, C).astype(jnp.float32))
+        for v in (gam, bet):
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(v.astype(jnp.float32))
     y, st = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(B, n_tiles),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, R, W, C_out), lambda t: (0, t, 0, 0),
+            pl.BlockSpec((1, R, W, C_out), lambda bi, t: (bi, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, C_out), lambda t: (0, 0),
+            pl.BlockSpec((1, 2, C_out), lambda bi, t: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, Hp, W, C_out), x.dtype),
-            jax.ShapeDtypeStruct((2, C_out), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, W, C_out), x.dtype),
+            jax.ShapeDtypeStruct((B, 2, C_out), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((R + 2, W, C), x.dtype),
@@ -507,24 +519,25 @@ def conv3x3_block_pallas(x, w, b, pre_norm=None, row_tile: int = 16,
         ],
         interpret=interpret,
     )(*args)
-    return y[:, :H], st
+    return y, st
 
 
 def res_block_pallas(h, w1, b1, g1, be1, w2, b2, g2, be2, strength,
                      eps: float = 1e-5, row_tile: int = 16):
     """Full FastStyleNet residual block via two fused kernels + one XLA
     elementwise epilogue. Numerics: conv accumulation f32, IN stats f32
-    via sum/sumsq (algebraically = the two-pass biased variance)."""
+    via sum/sumsq (algebraically = the two-pass biased variance).
+    Works for any batch (stats are per-sample, matching instance norm)."""
     n = h.shape[1] * h.shape[2]
     t1, s1 = conv3x3_block_pallas(h, w1, b1, row_tile=row_tile)
-    mu1 = s1[0] / n
-    var1 = jnp.maximum(s1[1] / n - mu1 * mu1, 0.0)
+    mu1 = s1[:, 0] / n  # (B, C)
+    var1 = jnp.maximum(s1[:, 1] / n - mu1 * mu1, 0.0)
     inv1 = jax.lax.rsqrt(var1 + eps)
     y2, s2 = conv3x3_block_pallas(
         t1, w2, b2, pre_norm=(mu1, inv1, g1, be1), row_tile=row_tile)
-    mu2 = s2[0] / n
-    var2 = jnp.maximum(s2[1] / n - mu2 * mu2, 0.0)
-    inv2 = jax.lax.rsqrt(var2 + eps)
+    mu2 = (s2[:, 0] / n)[:, None, None, :]  # (B, 1, 1, C)
+    var2 = jnp.maximum(s2[:, 1] / n - (s2[:, 0] / n) ** 2, 0.0)
+    inv2 = jax.lax.rsqrt(var2 + eps)[:, None, None, :]
     y2f = y2.astype(jnp.float32)
     out = strength * ((y2f - mu2) * (inv2 * g2) + be2) + h.astype(jnp.float32)
     return out.astype(h.dtype)

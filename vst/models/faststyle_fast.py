@@ -56,10 +56,15 @@ def _norm_affine(params, idx, n_styles, style_id):
 
 
 def fast_stylize(params, x, style_strength=1.0, style_id=0,
-                 n_styles: int = 1):
+                 n_styles: int = 1, trunk: str = "xla"):
     """params: FastStyleNet param tree (3-channel input variant);
     x: (B, H, W, 3) with H, W divisible by 4. Returns (features, styled) like
-    the reference forward (network.py:281-298)."""
+    the reference forward (network.py:281-298).
+
+    trunk="pallas" routes the residual blocks through the fused
+    res_block_pallas kernels (batched grid; exact same math) — the XLA
+    trunk pays a pad materialization + stats pass + normalize pass per
+    conv in HBM."""
     B, H, W, _ = x.shape
     assert H % 4 == 0 and W % 4 == 0, "fast path needs H, W divisible by 4"
 
@@ -104,6 +109,14 @@ def fast_stylize(params, x, style_strength=1.0, style_id=0,
         strength = 2.0 * jnp.abs(strength) / (1.0 + jnp.abs(strength))
         w1, b1 = _conv_w(blk, "ConvLayer_0", "TorchConv_0")
         w2, b2 = _conv_w(blk, "ConvLayer_1", "TorchConv_0")
+        if trunk == "pallas":
+            from vst.kernels.pallas_conv import res_block_pallas
+
+            n0, n1 = blk["InstanceNorm_0"], blk["InstanceNorm_1"]
+            h = res_block_pallas(
+                h, w1, b1, n0["scale"], n0["bias"],
+                w2, b2, n1["scale"], n1["bias"], strength)
+            continue
         y = trunk_conv(h, w1, b1)
         y = instance_norm(y) * blk["InstanceNorm_0"]["scale"] + blk["InstanceNorm_0"]["bias"]
         y = jax.nn.relu(y)
