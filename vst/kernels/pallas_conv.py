@@ -236,70 +236,111 @@ def up2_conv_subpixel_pallas(x, w, b, row_tile: int = 8,
 
     def kernel(x_hbm, w_ref, b_ref, y_ref, xbuf, sem):
         t = pl.program_id(0)
-        r0 = t * R
+        p = pl.program_id(1)
 
-        # edge row pad = clamped contiguous spans (cf. conv3x3_reflect's
-        # reflect variant; single bulk DMA per interior tile)
-        def copies():
+        # edge row pad = clamped contiguous spans; one DMA group PER TILE
+        # (issued/awaited at the p == 0 phase step — the p == 1 step of the
+        # same tile reuses the resident buffer), double-buffered so tile
+        # t+1's rows stream in while tile t's two phases compute
+        def first_group(k):
+            sm = sem.at[k]
             if n_tiles == 1:
                 cps = [pltpu.make_async_copy(
-                    x_hbm.at[0, pl.ds(0, h)], xbuf.at[pl.ds(1, h)], sem),
+                    x_hbm.at[0, pl.ds(0, h)], xbuf.at[k, pl.ds(1, h)], sm),
                     pltpu.make_async_copy(
-                        x_hbm.at[0, pl.ds(0, 1)], xbuf.at[pl.ds(0, 1)], sem)]
+                        x_hbm.at[0, pl.ds(0, 1)], xbuf.at[k, pl.ds(0, 1)],
+                        sm)]
                 for i in range(h + 1, R + 2):
                     cps.append(pltpu.make_async_copy(
-                        x_hbm.at[0, pl.ds(h - 1, 1)], xbuf.at[pl.ds(i, 1)],
-                        sem))
-                return [("all", cps)]
-            first = [
+                        x_hbm.at[0, pl.ds(h - 1, 1)],
+                        xbuf.at[k, pl.ds(i, 1)], sm))
+                return cps
+            return [
                 pltpu.make_async_copy(x_hbm.at[0, pl.ds(0, R + 1)],
-                                      xbuf.at[pl.ds(1, R + 1)], sem),
+                                      xbuf.at[k, pl.ds(1, R + 1)], sm),
                 pltpu.make_async_copy(x_hbm.at[0, pl.ds(0, 1)],
-                                      xbuf.at[pl.ds(0, 1)], sem),
+                                      xbuf.at[k, pl.ds(0, 1)], sm),
             ]
-            interior = [pltpu.make_async_copy(
-                x_hbm.at[0, pl.ds(r0 - 1, R + 2)], xbuf, sem)]
-            tail = [pltpu.make_async_copy(
+
+        def interior_group(tau, k):
+            return [pltpu.make_async_copy(
+                x_hbm.at[0, pl.ds(tau * R - 1, R + 2)], xbuf.at[k],
+                sem.at[k])]
+
+        def tail_group(k):
+            sm = sem.at[k]
+            cps = [pltpu.make_async_copy(
                 x_hbm.at[0, pl.ds(last * R - 1, body_last)],
-                xbuf.at[pl.ds(0, body_last)], sem)]
+                xbuf.at[k, pl.ds(0, body_last)], sm)]
             for i in range(body_last, R + 2):
-                tail.append(pltpu.make_async_copy(
-                    x_hbm.at[0, pl.ds(h - 1, 1)], xbuf.at[pl.ds(i, 1)], sem))
-            return [("first", first), ("interior", interior), ("tail", tail)]
+                cps.append(pltpu.make_async_copy(
+                    x_hbm.at[0, pl.ds(h - 1, 1)],
+                    xbuf.at[k, pl.ds(i, 1)], sm))
+            return cps
 
-        groups = copies()
-        if len(groups) == 1:
-            for cp in groups[0][1]:
+        def start(cps):
+            for cp in cps:
                 cp.start()
-            for cp in groups[0][1]:
+
+        def wait(cps):
+            for cp in cps:
                 cp.wait()
-        else:
-            conds = {"first": t == 0,
-                     "interior": jnp.logical_and(t > 0, t < last),
-                     "tail": t == last}
-            for name, cps in groups:
-                @pl.when(conds[name])
-                def _():
-                    for cp in cps:
-                        cp.start()
-                    for cp in cps:
-                        cp.wait()
 
-        xv = xbuf[...]
-        # edge column pad: duplicate first/last columns
-        xp = jnp.concatenate([xv[:, 0:1], xv, xv[:, wd - 1:wd]], axis=1)
+        @pl.when(jnp.logical_and(t == 0, p == 0))
+        def _():
+            start(first_group(0))
 
-        acc = jnp.zeros((R * wd, 2 * Co), jnp.float32)
-        for dy in range(3):
-            for dx in range(3):
-                tap = xp[dy:dy + R, dx:dx + wd]
-                acc = acc + jax.lax.dot_general(
-                    tap.reshape(R * wd, Ci), w_ref[0, dy, dx],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-        acc = acc + b_ref[...].astype(jnp.float32)
-        y_ref[...] = acc.reshape(1, R, 1, wd, 2 * Co).astype(y_ref.dtype)
+        if n_tiles > 1:
+            for k in (0, 1):
+                nxt = jnp.logical_and(
+                    p == 0, jnp.equal(jax.lax.rem(t + 1, 2), k))
+
+                @pl.when(jnp.logical_and(
+                    nxt, jnp.logical_and(t + 1 > 0, t + 1 < last)))
+                def _(k=k):
+                    start(interior_group(t + 1, k))
+
+                @pl.when(jnp.logical_and(nxt, t + 1 == last))
+                def _(k=k):
+                    start(tail_group(k))
+
+        def compute(xv):
+            # edge column pad: duplicate first/last columns
+            xp = jnp.concatenate([xv[:, 0:1], xv, xv[:, wd - 1:wd]], axis=1)
+
+            acc = jnp.zeros((R * wd, 2 * Co), jnp.float32)
+            for dy in range(3):
+                for dx in range(3):
+                    tap = xp[dy:dy + R, dx:dx + wd]
+                    acc = acc + jax.lax.dot_general(
+                        tap.reshape(R * wd, Ci), w_ref[0, dy, dx],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            acc = acc + b_ref[...].astype(jnp.float32)
+            y_ref[...] = acc.reshape(1, R, 1, wd, 2 * Co).astype(y_ref.dtype)
+
+        for k in (0, 1):
+            par = jnp.equal(jax.lax.rem(t, 2), k)
+            at_p0 = jnp.logical_and(par, p == 0)
+
+            @pl.when(jnp.logical_and(at_p0, t == 0))
+            def _(k=k):
+                wait(first_group(k))
+
+            if n_tiles > 1:
+                @pl.when(jnp.logical_and(
+                    at_p0, jnp.logical_and(t > 0, t < last)))
+                def _(k=k):
+                    wait(interior_group(t, k))
+
+                @pl.when(jnp.logical_and(at_p0, t == last))
+                def _(k=k):
+                    wait(tail_group(k))
+
+            @pl.when(par)
+            def _(k=k):
+                compute(xbuf[k])
 
     y = pl.pallas_call(
         kernel,
@@ -317,8 +358,8 @@ def up2_conv_subpixel_pallas(x, w, b, row_tile: int = 8,
         # exact shape (boundary blocks masked) so the reshape below is free
         out_shape=jax.ShapeDtypeStruct((1, h, 2, wd, 2 * Co), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((R + 2, wd, Ci), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, R + 2, wd, Ci), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x, wf.astype(x.dtype), b2.astype(x.dtype))
