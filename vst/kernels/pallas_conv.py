@@ -361,6 +361,9 @@ def up2_conv_subpixel_pallas(x, w, b, row_tile: int = 8,
             pltpu.VMEM((2, R + 2, wd, Ci), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # cross-step DMA handoff requires strictly sequential grid steps
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(x, wf.astype(x.dtype), b2.astype(x.dtype))
     # (h, py, w, px, Co) contiguous ≡ (2h, 2w, Co): free reinterpretation
@@ -606,6 +609,9 @@ def conv3x3_block_pallas(x, w, b, pre_norm=None, row_tile: int = 16,
             pltpu.VMEM((2, R + 2, W, C), x.dtype),  # double-buffered rows
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # cross-step DMA handoff requires strictly sequential grid steps
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(*args)
     return y, st
