@@ -66,7 +66,23 @@ def _measure(model, dtype, batch, H, W, iters=20, path="natural"):
         float(x.sum())  # sync
         times.append((time.perf_counter() - t0) / iters)
     dt, dt_mean = min(times), sum(times) / len(times)
-    return batch / dt, dt * 1000.0 / batch, dt_mean * 1000.0 / batch
+
+    # chain fused INTO one program (fori_loop): one dispatch, zero host
+    # overhead — pure device latency (extra diagnostic, not the headline)
+    @jax.jit
+    def loop(p, v):
+        return jax.lax.fori_loop(0, iters, lambda i, u: stylize(p, u), v)
+
+    x = loop(params, img)
+    float(x.sum())
+    dt_fused = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = loop(params, img)
+        float(x.sum())
+        dt_fused = min(dt_fused, (time.perf_counter() - t0) / iters)
+    return (batch / dt, dt * 1000.0 / batch, dt_mean * 1000.0 / batch,
+            dt_fused * 1000.0 / batch)
 
 
 def main():
@@ -102,9 +118,9 @@ def main():
         for name, dtype, batch, path in configs:
             try:
                 with annotate(f"bench/{name}"):
-                    fps, ms, ms_mean = _measure(
+                    fps, ms, ms_mean, ms_fused = _measure(
                         model, dtype, batch, H, W, path=path)
-                results[name] = (fps, ms, ms_mean)
+                results[name] = (fps, ms, ms_mean, ms_fused)
             except Exception as e:  # noqa: BLE001 — a path that fails to
                 # compile (e.g. a Mosaic-rejected Pallas kernel) must not
                 # take down the whole benchmark; record and move on
@@ -134,8 +150,11 @@ def main():
         "methodology": "chained-loop device latency; best-of-3 (mean also reported)",
         "best_config": best_name,
         "device": str(jax.devices()[0]),
-        # full per-path breakdown (ms/frame, best-of-3) for diagnosis
+        # full per-path breakdown (ms/frame, best-of-3) for diagnosis;
+        # _fused = the chain compiled into ONE fori_loop program (pure
+        # device latency, no per-call dispatch)
         "paths_ms": {k: round(v[1], 3) for k, v in results.items()},
+        "paths_ms_fused": {k: round(v[3], 3) for k, v in results.items()},
     }
     if failed:
         out["failed_paths"] = failed
