@@ -41,12 +41,17 @@ def _probe(name, fn, ref=None):
         out = jitted()
         jax.tree.map(lambda a: np.asarray(a), out)
         rec = {"ok": True, "ms": round(_time(jitted), 4)}
-        if ref is not None:
-            rec["xla_ms"] = round(_time(jax.jit(ref)), 4)
-        return name, rec
     except Exception as e:  # noqa: BLE001 — record the toolchain verdict
         msg = str(e)
         return name, {"ok": False, "error": f"{type(e).__name__}: {msg[:200]}"}
+    if ref is not None:
+        # own try: a reference-path failure must not corrupt the kernel's
+        # Mosaic-acceptance verdict (the whole point of this report)
+        try:
+            rec["xla_ms"] = round(_time(jax.jit(ref)), 4)
+        except Exception as e:  # noqa: BLE001
+            rec["xla_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+    return name, rec
 
 
 def main():
