@@ -141,7 +141,7 @@ def evaluate_videos(
     frame_transform: Optional[Callable] = None,
     raft_preprocess: Optional[Callable] = None,
     save_frames: bool = False,
-    dt_iters: int = 10,
+    dt_iters: int = 20,  # match bench.py's chain length (sync amortization)
     num_domains: Optional[int] = None,
     flow_fn: Optional[Callable] = None,
 ) -> Dict[str, Dict[str, float]]:
