@@ -37,6 +37,122 @@ def _reflect_row_index(r, H):
     return jnp.where(r < 0, -r, jnp.where(r >= H, 2 * H - 2 - r, r))
 
 
+def _halo_row_groups(x_hbm, xbuf, sem, sample, H, R, n_tiles, reflect):
+    """Shared double-buffer DMA group builders for a halo'd (R+2)-row tile
+    stream. Returns (first, interior, tail): each returns the copy list
+    for tile 0 / interior tile ``tau`` / the last tile, targeting buffer
+    ``k``. ``reflect`` selects the boundary-pad row sources (torch
+    ReflectionPad2d) vs edge clamp. The SAME builders are used on the
+    issue and wait sides so semaphore counts always match."""
+    last = n_tiles - 1
+    body_last = max(0, H - (last * R - 1))
+
+    def pad_src(row):  # static python int: boundary row for logical `row`
+        if reflect:
+            return min(max(2 * H - 2 - row, 0), H - 1)
+        return H - 1
+
+    top_src = 1 if reflect else 0
+
+    def first(k):
+        sm = sem.at[k]
+        if n_tiles == 1:
+            cps = [pltpu.make_async_copy(
+                x_hbm.at[sample, pl.ds(0, H)], xbuf.at[k, pl.ds(1, H)], sm),
+                pltpu.make_async_copy(
+                    x_hbm.at[sample, pl.ds(top_src, 1)],
+                    xbuf.at[k, pl.ds(0, 1)], sm)]
+            for i in range(H + 1, R + 2):
+                cps.append(pltpu.make_async_copy(
+                    x_hbm.at[sample, pl.ds(pad_src(i - 1), 1)],
+                    xbuf.at[k, pl.ds(i, 1)], sm))
+            return cps
+        return [
+            pltpu.make_async_copy(x_hbm.at[sample, pl.ds(0, R + 1)],
+                                  xbuf.at[k, pl.ds(1, R + 1)], sm),
+            pltpu.make_async_copy(x_hbm.at[sample, pl.ds(top_src, 1)],
+                                  xbuf.at[k, pl.ds(0, 1)], sm),
+        ]
+
+    def interior(tau, k):
+        return [pltpu.make_async_copy(
+            x_hbm.at[sample, pl.ds(tau * R - 1, R + 2)], xbuf.at[k],
+            sem.at[k])]
+
+    def tail(k):
+        sm = sem.at[k]
+        cps = [pltpu.make_async_copy(
+            x_hbm.at[sample, pl.ds(last * R - 1, body_last)],
+            xbuf.at[k, pl.ds(0, body_last)], sm)]
+        for i in range(body_last, R + 2):
+            cps.append(pltpu.make_async_copy(
+                x_hbm.at[sample, pl.ds(pad_src(last * R - 1 + i), 1)],
+                xbuf.at[k, pl.ds(i, 1)], sm))
+        return cps
+
+    return first, interior, tail
+
+
+def _db_issue(t, gate, n_tiles, groups):
+    """Issue side of the double-buffer handoff: tile 0 synchronously at
+    the first gated step, tile t+1 into buffer (t+1)%2 otherwise. ``gate``
+    marks the one step per tile that owns DMA (True, or p == 0 when a
+    phase axis revisits the same rows)."""
+    first, interior, tail = groups
+    last = n_tiles - 1
+
+    @pl.when(jnp.logical_and(t == 0, gate))
+    def _():
+        for cp in first(0):
+            cp.start()
+
+    if n_tiles > 1:
+        for k in (0, 1):
+            nxt = jnp.logical_and(gate, jnp.equal(jax.lax.rem(t + 1, 2), k))
+
+            @pl.when(jnp.logical_and(
+                nxt, jnp.logical_and(t + 1 > 0, t + 1 < last)))
+            def _(k=k):
+                for cp in interior(t + 1, k):
+                    cp.start()
+
+            @pl.when(jnp.logical_and(nxt, t + 1 == last))
+            def _(k=k):
+                for cp in tail(k):
+                    cp.start()
+
+
+def _db_wait_compute(t, gate, n_tiles, groups, xbuf, compute):
+    """Wait side: await tile t's buffer (parity-static branches — Mosaic
+    needs static scratch indices for register loads), then run ``compute``
+    on the resident rows at EVERY step (waits only at gated steps)."""
+    first, interior, tail = groups
+    last = n_tiles - 1
+    for k in (0, 1):
+        par = jnp.equal(jax.lax.rem(t, 2), k)
+        at = jnp.logical_and(par, gate)
+
+        @pl.when(jnp.logical_and(at, t == 0))
+        def _(k=k):
+            for cp in first(k):
+                cp.wait()
+
+        if n_tiles > 1:
+            @pl.when(jnp.logical_and(at, jnp.logical_and(t > 0, t < last)))
+            def _(k=k):
+                for cp in interior(t, k):
+                    cp.wait()
+
+            @pl.when(jnp.logical_and(at, t == last))
+            def _(k=k):
+                for cp in tail(k):
+                    cp.wait()
+
+        @pl.when(par)
+        def _(k=k):
+            compute(xbuf[k])
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def conv3x3_reflect(x, w, b, row_tile: int = 16, interpret: bool = False):
     """y = conv3x3(reflect_pad1(x)) + b for x (1, H, W, C) NHWC.
@@ -231,8 +347,6 @@ def up2_conv_subpixel_pallas(x, w, b, row_tile: int = 8,
     b2 = jnp.tile(b, 2)  # (2·Co,), order (px, Co)
     R = row_tile
     n_tiles = pl.cdiv(h, R)
-    last = n_tiles - 1
-    body_last = max(0, h - (last * R - 1))
 
     def kernel(x_hbm, w_ref, b_ref, y_ref, xbuf, sem):
         t = pl.program_id(0)
@@ -242,67 +356,9 @@ def up2_conv_subpixel_pallas(x, w, b, row_tile: int = 8,
         # (issued/awaited at the p == 0 phase step — the p == 1 step of the
         # same tile reuses the resident buffer), double-buffered so tile
         # t+1's rows stream in while tile t's two phases compute
-        def first_group(k):
-            sm = sem.at[k]
-            if n_tiles == 1:
-                cps = [pltpu.make_async_copy(
-                    x_hbm.at[0, pl.ds(0, h)], xbuf.at[k, pl.ds(1, h)], sm),
-                    pltpu.make_async_copy(
-                        x_hbm.at[0, pl.ds(0, 1)], xbuf.at[k, pl.ds(0, 1)],
-                        sm)]
-                for i in range(h + 1, R + 2):
-                    cps.append(pltpu.make_async_copy(
-                        x_hbm.at[0, pl.ds(h - 1, 1)],
-                        xbuf.at[k, pl.ds(i, 1)], sm))
-                return cps
-            return [
-                pltpu.make_async_copy(x_hbm.at[0, pl.ds(0, R + 1)],
-                                      xbuf.at[k, pl.ds(1, R + 1)], sm),
-                pltpu.make_async_copy(x_hbm.at[0, pl.ds(0, 1)],
-                                      xbuf.at[k, pl.ds(0, 1)], sm),
-            ]
-
-        def interior_group(tau, k):
-            return [pltpu.make_async_copy(
-                x_hbm.at[0, pl.ds(tau * R - 1, R + 2)], xbuf.at[k],
-                sem.at[k])]
-
-        def tail_group(k):
-            sm = sem.at[k]
-            cps = [pltpu.make_async_copy(
-                x_hbm.at[0, pl.ds(last * R - 1, body_last)],
-                xbuf.at[k, pl.ds(0, body_last)], sm)]
-            for i in range(body_last, R + 2):
-                cps.append(pltpu.make_async_copy(
-                    x_hbm.at[0, pl.ds(h - 1, 1)],
-                    xbuf.at[k, pl.ds(i, 1)], sm))
-            return cps
-
-        def start(cps):
-            for cp in cps:
-                cp.start()
-
-        def wait(cps):
-            for cp in cps:
-                cp.wait()
-
-        @pl.when(jnp.logical_and(t == 0, p == 0))
-        def _():
-            start(first_group(0))
-
-        if n_tiles > 1:
-            for k in (0, 1):
-                nxt = jnp.logical_and(
-                    p == 0, jnp.equal(jax.lax.rem(t + 1, 2), k))
-
-                @pl.when(jnp.logical_and(
-                    nxt, jnp.logical_and(t + 1 > 0, t + 1 < last)))
-                def _(k=k):
-                    start(interior_group(t + 1, k))
-
-                @pl.when(jnp.logical_and(nxt, t + 1 == last))
-                def _(k=k):
-                    start(tail_group(k))
+        groups = _halo_row_groups(x_hbm, xbuf, sem, 0, h, R, n_tiles,
+                                  reflect=False)
+        _db_issue(t, p == 0, n_tiles, groups)
 
         def compute(xv):
             # edge column pad: duplicate first/last columns
@@ -320,27 +376,7 @@ def up2_conv_subpixel_pallas(x, w, b, row_tile: int = 8,
             acc = acc + b_ref[...].astype(jnp.float32)
             y_ref[...] = acc.reshape(1, R, 1, wd, 2 * Co).astype(y_ref.dtype)
 
-        for k in (0, 1):
-            par = jnp.equal(jax.lax.rem(t, 2), k)
-            at_p0 = jnp.logical_and(par, p == 0)
-
-            @pl.when(jnp.logical_and(at_p0, t == 0))
-            def _(k=k):
-                wait(first_group(k))
-
-            if n_tiles > 1:
-                @pl.when(jnp.logical_and(
-                    at_p0, jnp.logical_and(t > 0, t < last)))
-                def _(k=k):
-                    wait(interior_group(t, k))
-
-                @pl.when(jnp.logical_and(at_p0, t == last))
-                def _(k=k):
-                    wait(tail_group(k))
-
-            @pl.when(par)
-            def _(k=k):
-                compute(xbuf[k])
+        _db_wait_compute(t, p == 0, n_tiles, groups, xbuf, compute)
 
     y = pl.pallas_call(
         kernel,
@@ -431,8 +467,6 @@ def conv3x3_block_pallas(x, w, b, pre_norm=None, row_tile: int = 16,
     C_out = w.shape[-1]
     R = row_tile
     n_tiles = pl.cdiv(H, R)
-    last = n_tiles - 1
-    body_last = max(0, H - (last * R - 1))
     n_norm = 4 if pre_norm is not None else 0
 
     def kernel(*refs):
@@ -443,78 +477,14 @@ def conv3x3_block_pallas(x, w, b, pre_norm=None, row_tile: int = 16,
         bi = pl.program_id(0)
         t = pl.program_id(1)
 
-        # --- double-buffered halo'd row DMA -------------------------------
-        # Tile τ's rows live in buffer τ%2; tile τ+1's copy is issued
-        # BEFORE waiting on tile τ's, so the next tile's HBM traffic
-        # overlaps this tile's matmuls (the single-buffer version stalled
-        # ~6 µs per 30 µs tile on the synchronous wait).
-        def first_group(k):
-            """Tile 0 (reflect top boundary); n_tiles == 1 also reflects
-            the bottom rows (grid padding) — all offsets static."""
-            sm = sem.at[k]
-            if n_tiles == 1:
-                cps = [pltpu.make_async_copy(
-                    x_hbm.at[bi, pl.ds(0, H)], xbuf.at[k, pl.ds(1, H)], sm),
-                    pltpu.make_async_copy(
-                        x_hbm.at[bi, pl.ds(1, 1)], xbuf.at[k, pl.ds(0, 1)],
-                        sm)]
-                for i in range(H + 1, R + 2):
-                    src = min(2 * H - 2 - (i - 1), H - 1)
-                    cps.append(pltpu.make_async_copy(
-                        x_hbm.at[bi, pl.ds(src, 1)],
-                        xbuf.at[k, pl.ds(i, 1)], sm))
-                return cps
-            return [
-                pltpu.make_async_copy(x_hbm.at[bi, pl.ds(0, R + 1)],
-                                      xbuf.at[k, pl.ds(1, R + 1)], sm),
-                pltpu.make_async_copy(x_hbm.at[bi, pl.ds(1, 1)],
-                                      xbuf.at[k, pl.ds(0, 1)], sm),
-            ]
-
-        def interior_group(tau, k):
-            return [pltpu.make_async_copy(
-                x_hbm.at[bi, pl.ds(tau * R - 1, R + 2)], xbuf.at[k],
-                sem.at[k])]
-
-        def tail_group(k):
-            sm = sem.at[k]
-            cps = [pltpu.make_async_copy(
-                x_hbm.at[bi, pl.ds(last * R - 1, body_last)],
-                xbuf.at[k, pl.ds(0, body_last)], sm)]
-            for i in range(body_last, R + 2):
-                src = 2 * H - 2 - (last * R - 1 + i)
-                cps.append(pltpu.make_async_copy(
-                    x_hbm.at[bi, pl.ds(src, 1)],
-                    xbuf.at[k, pl.ds(i, 1)], sm))
-            return cps
-
-        def start(cps):
-            for cp in cps:
-                cp.start()
-
-        def wait(cps):
-            for cp in cps:
-                cp.wait()
-
-        # tile 0 of this sample: issue synchronously into buffer 0
-        @pl.when(t == 0)
-        def _():
-            start(first_group(0))
-
-        # prefetch tile t+1 into buffer (t+1)%2 (never tile 0, never past
-        # the grid; the group choice must mirror the wait side below)
-        if n_tiles > 1:
-            for k in (0, 1):
-                nxt_par = jnp.equal(jax.lax.rem(t + 1, 2), k)
-
-                @pl.when(jnp.logical_and(
-                    nxt_par, jnp.logical_and(t + 1 > 0, t + 1 < last)))
-                def _(k=k):
-                    start(interior_group(t + 1, k))
-
-                @pl.when(jnp.logical_and(nxt_par, t + 1 == last))
-                def _(k=k):
-                    start(tail_group(k))
+        # double-buffered halo'd row DMA: tile τ's rows live in buffer
+        # τ%2; tile τ+1's copy is issued BEFORE waiting on tile τ's, so
+        # the next tile's HBM traffic overlaps this tile's matmuls (the
+        # single-buffer version stalled ~6 µs per 30 µs tile on the
+        # synchronous wait)
+        groups = _halo_row_groups(x_hbm, xbuf, sem, bi, H, R, n_tiles,
+                                  reflect=True)
+        _db_issue(t, True, n_tiles, groups)
 
         def compute(xv):
             r0 = t * R
@@ -553,27 +523,7 @@ def conv3x3_block_pallas(x, w, b, pre_norm=None, row_tile: int = 16,
         def _():
             st_ref[...] = jnp.zeros((1, 2, C_out), jnp.float32)
 
-        # wait on tile t's buffer (parity-static branches: Mosaic needs
-        # static scratch indices for register loads), then compute
-        for k in (0, 1):
-            par = jnp.equal(jax.lax.rem(t, 2), k)
-
-            @pl.when(jnp.logical_and(par, t == 0))
-            def _(k=k):
-                wait(first_group(k))
-                compute(xbuf[k])
-
-            if n_tiles > 1:
-                @pl.when(jnp.logical_and(
-                    par, jnp.logical_and(t > 0, t < last)))
-                def _(k=k):
-                    wait(interior_group(t, k))
-                    compute(xbuf[k])
-
-                @pl.when(jnp.logical_and(par, t == last))
-                def _(k=k):
-                    wait(tail_group(k))
-                    compute(xbuf[k])
+        _db_wait_compute(t, True, n_tiles, groups, xbuf, compute)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
