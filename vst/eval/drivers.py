@@ -147,11 +147,23 @@ def evaluate_sintel_obst(obst, videos, raft_apply, style_images,
 
     tcl_st, tcl_lt, dt = {}, {}, {}
     n_styles = style_images.shape[0]
+    warmed = set()  # (pyr_shapes, weight_tcl) programs already compiled
     for video in videos:
         frames = jnp.asarray(video.frames)
         for sid in range(n_styles):
             obst.set_style(style_images[sid], pyr_shapes)
             key = f"{video.name}_s{sid + 1}"
+            # warm the LBFGS program before timing: a cold remote compile
+            # lands inside the first frame's DT otherwise (committed
+            # artifacts showed 10–18 s outliers vs the 2.9 s steady state;
+            # same fix as the faststyle harness's per-style warm-up)
+            wkey = (tuple(map(tuple, pyr_shapes)), float(weight_tcl))
+            if wkey not in warmed:
+                warmed.add(wkey)
+                img0 = obst_prep(frames[0:1])
+                ones = jnp.ones(img0.shape[:3] + (1,))
+                float(obst.run(img0, img0, ones, pyr_shapes,
+                               weight_tcl=weight_tcl).sum())
             st_vals, lt_vals, dt_vals = [], [], []
             prev_styled = None
             styled_hist = []
