@@ -150,6 +150,9 @@ def test_torch_state_dict_conversion_structure():
     for k, v in sd.items():
         nk = k.lstrip(".")
         nk = nk.replace("update_iter.block", "update_block")
+        # the upsample-mask head is hoisted to the RAFT top level in flax
+        # but lives under update_block in the torch layout
+        nk = nk.replace("mask_head.", "update_block.")
         for i in (1, 2, 3):
             for j in (0, 1):
                 nk = nk.replace(f"layer{i}_{j}.", f"layer{i}.{j}.")

@@ -252,7 +252,11 @@ class ConvGRU(nn.Module):
 
 
 class BasicUpdateBlock(nn.Module):
-    """update.py:114-136 (+ 0.25 mask scaling)."""
+    """update.py:114-136 — GRU + flow head. The 0.25-scaled upsample-mask
+    convs (update.py:119-123) live in :class:`UpMaskHead`, applied OUTSIDE
+    the GRU scan: the mask depends only on the hidden state and eval
+    consumes only the FINAL iteration's, so computing it per iteration
+    wasted the mask convs × (iters−1) (~17% of the update-loop FLOPs)."""
 
     hidden_dim: int = 128
     dtype: Optional[Any] = None
@@ -270,10 +274,20 @@ class BasicUpdateBlock(nn.Module):
         x = jnp.concatenate([inp, motion], axis=-1)
         net = SepConvGRU(self.hidden_dim, dtype=dt, name="gru")(net, x)
         delta = FlowHead(256, dtype=dt, name="flow_head")(net)
-        m = nn.relu(TorchConv(256, 3, padding=1, dtype=dt, name="mask_0")(net))
-        mask = 0.25 * TorchConv(64 * 9, 1, name="mask_2")(
+        return net, delta
+
+
+class UpMaskHead(nn.Module):
+    """update.py:119-123: 9-way convex-upsample mask logits (×0.25)."""
+
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, net):
+        m = nn.relu(TorchConv(256, 3, padding=1, dtype=self.dtype,
+                              name="mask_0")(net))
+        return 0.25 * TorchConv(64 * 9, 1, name="mask_2")(
             m.astype(jnp.float32))
-        return net, mask, delta
 
 
 class SmallUpdateBlock(nn.Module):
@@ -330,10 +344,12 @@ def upsample_flow_convex(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 class _IterUpdate(nn.Module):
     """One GRU refinement iteration, shaped for ``nn.scan``:
-    carry = (net, coords1, up_mask); loop-invariant side inputs (coords0,
-    inp, pyramid) enter as broadcast xs — NOT through the carry, which would
+    carry = (net, coords1); loop-invariant side inputs (coords0, inp,
+    pyramid) enter as broadcast xs — NOT through the carry, which would
     round-trip the ~200 MB correlation pyramid through HBM every iteration.
-    Params are broadcast across iterations (weight sharing, raft.py:122-131)."""
+    Params are broadcast across iterations (weight sharing, raft.py:122-131).
+    The per-iter ys collect (coords1, net); the hidden states feed the
+    hoisted UpMaskHead only in train mode (dead-code-eliminated in eval)."""
 
     small: bool
     radius: int
@@ -342,7 +358,7 @@ class _IterUpdate(nn.Module):
 
     @nn.compact
     def __call__(self, carry, const):
-        net, coords1, up_mask = carry
+        net, coords1 = carry
         coords0, inp, pyramid = const
         coords1 = jax.lax.stop_gradient(coords1)  # raft.py:123
         if self.pallas_lookup:
@@ -356,14 +372,13 @@ class _IterUpdate(nn.Module):
         flow = coords1 - coords0
         if self.small:
             block = SmallUpdateBlock(96, name="block")
+            net, _, delta = block(net, inp, corr, flow)
         else:
             block = BasicUpdateBlock(128, dtype=self.update_dtype,
                                      name="block")
-        net, mask, delta = block(net, inp, corr, flow)
+            net, delta = block(net, inp, corr, flow)
         coords1 = coords1 + delta.astype(coords1.dtype)
-        if mask is None:
-            mask = up_mask  # small model: keep the dummy
-        return (net, coords1, mask), (coords1, mask)
+        return (net, coords1), (coords1, net)
 
 
 class RAFT(nn.Module):
@@ -430,8 +445,6 @@ class RAFT(nn.Module):
         if flow_init is not None:
             coords1 = coords1 + flow_init
 
-        up_mask0 = jnp.zeros((B, H // 8, W // 8, 64 * 9), jnp.float32)
-
         # GRU iterations under scan: one trace, update-block params broadcast
         # (shared) across iterations; loop invariants enter as broadcast xs
         scan = nn.scan(
@@ -441,8 +454,8 @@ class RAFT(nn.Module):
             in_axes=nn.broadcast,
             length=self.iters,
         )
-        carry0 = (net, coords1, up_mask0)
-        (net, coords1, up_mask), (coords1_all, masks_all) = scan(
+        carry0 = (net, coords1)
+        (net, coords1), (coords1_all, nets_all) = scan(
             small=self.small, radius=corr_radius,
             pallas_lookup=self.pallas_lookup,
             update_dtype=self.update_dtype, name="update_iter"
@@ -450,15 +463,27 @@ class RAFT(nn.Module):
 
         flow_low = coords1 - coords0
         if self.train_mode:
-            def up_one(c1, m):
-                f = c1 - coords0
-                return upflow8(f) if self.small else upsample_flow_convex(f, m)
-
-            flow_preds = jax.vmap(up_one)(coords1_all, masks_all)
+            if self.small:
+                flow_preds = jax.vmap(
+                    lambda c1: upflow8(c1 - coords0))(coords1_all)
+            else:
+                # per-iter masks from the hoisted head (shared params)
+                vmask = nn.vmap(
+                    UpMaskHead,
+                    variable_axes={"params": None},
+                    split_rngs={"params": False},
+                    in_axes=0,
+                )(dtype=self.update_dtype, name="mask_head")
+                masks_all = vmask(nets_all)
+                flow_preds = jax.vmap(
+                    lambda c1, m: upsample_flow_convex(c1 - coords0, m)
+                )(coords1_all, masks_all)
             return flow_low, flow_preds  # (iters, B, H, W, 2)
         if self.small:
             flow_up = upflow8(flow_low)
         else:
+            up_mask = UpMaskHead(dtype=self.update_dtype,
+                                 name="mask_head")(net)
             flow_up = upsample_flow_convex(flow_low, up_mask)
         return flow_low, flow_up
 
@@ -528,14 +553,15 @@ def raft_params_from_torch(sd: dict) -> dict:
             raise KeyError(f"unmapped key {key}")
 
         if net == "update_block":
-            base = ["update_iter", "block"]
             rest = parts[1:]
             if rest[0] == "mask":
-                put(base + [f"mask_{rest[1]}", "Conv_0"],
+                # the upsample-mask head is hoisted out of the GRU scan
+                # (module UpMaskHead at the RAFT top level)
+                put(["mask_head", f"mask_{rest[1]}", "Conv_0"],
                     "kernel" if rest[2] == "weight" else "bias", _t2j(val))
                 continue
             # encoder.convc1 / gru.convz1 / flow_head.conv1
-            put(base + [rest[0], rest[1], "Conv_0"],
+            put(["update_iter", "block", rest[0], rest[1], "Conv_0"],
                 "kernel" if rest[2] == "weight" else "bias", _t2j(val))
             continue
 
