@@ -52,6 +52,20 @@ def main():
     print(f"per-iter {slope:.3f} ms; fixed (encoders+corr+upsample) "
           f"{report['fixed_ms']:.2f} ms")
 
+    # bf16 update block (round-2 measured it SLOWER via per-iter carry
+    # casts; re-check now that the mask head is hoisted out of the scan)
+    for iters in (4, 20):
+        raft = RAFT(iters=iters, encoder_dtype=jnp.bfloat16,
+                    update_dtype=jnp.bfloat16)
+        params = raft.init(jax.random.PRNGKey(0), img1, img2)
+        fn = jax.jit(lambda p, a, b, m=raft: m.apply(p, a, b)[0])
+        ms = timed(fn, params, img1, img2)
+        report[f"full_bf16upd_iters{iters}"] = round(ms, 2)
+        print(f"bf16-update iters={iters}: {ms:.2f} ms")
+    report["per_gru_iter_bf16upd_ms"] = round(
+        (report["full_bf16upd_iters20"] - report["full_bf16upd_iters4"])
+        / 16.0, 3)
+
     # lookup kernel vs XLA gather at the production query count
     from vst.flow.corr import build_pyramid, lookup_pyramid
     from vst.kernels.pallas_corr import pallas_lookup_pyramid
