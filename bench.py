@@ -92,6 +92,26 @@ def _measure(model, dtype, batch, H, W, iters=20, path="natural"):
 
 
 def main():
+    # Watchdog: if the tunneled backend never initializes (the relay can
+    # wedge — see NOTES_ROUND3.md), emit an explicit error record instead
+    # of hanging with no JSON line for the driver to parse.
+    import os
+    import threading
+
+    def _timeout():
+        print(json.dumps({
+            "metric": "styled_frames_per_sec_per_chip_436x1024_johnson",
+            "value": 0.0, "unit": "frames/s/chip", "vs_baseline": 0.0,
+            "error": "TPU backend init timed out (relay unavailable)",
+        }), flush=True)
+        os._exit(3)
+
+    wd = threading.Timer(300.0, _timeout)
+    wd.daemon = True
+    wd.start()
+    float(jnp.ones((8, 8)).sum())  # backend init + one op
+    wd.cancel()
+
     from vst.models.faststyle import FastStyleNet
 
     H, W = 436, 1024
