@@ -178,9 +178,13 @@ def main():
         "device": str(jax.devices()[0]),
         # full per-path breakdown (ms/frame, best-of-3) for diagnosis;
         # _fused = the chain compiled into ONE fori_loop program (pure
-        # device latency, no per-call dispatch)
+        # device latency, no per-call dispatch). Non-finite diagnostics
+        # (failed fused compile → NaN) serialize as null — the output
+        # line must stay strict RFC-8259 JSON for the driver.
         "paths_ms": {k: round(v[1], 3) for k, v in results.items()},
-        "paths_ms_fused": {k: round(v[3], 3) for k, v in results.items()},
+        "paths_ms_fused": {
+            k: (round(v[3], 3) if np.isfinite(v[3]) else None)
+            for k, v in results.items()},
     }
     if failed:
         out["failed_paths"] = failed

@@ -12,6 +12,7 @@ import pytest
 @pytest.mark.parametrize("path,batch", [
     ("natural", 1),
     ("fast", 2),
+    ("fastp", 2),
     ("b1", 1),
     ("b1_fold", 1),
 ])

@@ -155,115 +155,15 @@ def _db_wait_compute(t, gate, n_tiles, groups, xbuf, compute):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def conv3x3_reflect(x, w, b, row_tile: int = 16, interpret: bool = False):
-    """y = conv3x3(reflect_pad1(x)) + b for x (1, H, W, C) NHWC.
+    """y = conv3x3(reflect_pad1(x)) + b for x (B, H, W, C) NHWC.
 
-    w: (3, 3, C, C_out); f32 accumulation; output dtype = x.dtype.
-    Grid over row tiles; each step DMAs its rows + 1-row halo from HBM
-    (reflect row indices — boundary tiles re-read interior rows) and
-    builds the reflect column pad in registers.
-    """
-    if jax.default_backend() == "cpu":
-        interpret = True  # Mosaic is TPU-only; CPU tests run interpreted
-    _, H, W, C = x.shape
-    C_out = w.shape[-1]
-    R = row_tile
-    n_tiles = pl.cdiv(H, R)
-
-    last = n_tiles - 1
-    body_last = max(0, H - (last * R - 1))  # contiguous rows of the last tile
-
-    def kernel(x_hbm, w_ref, b_ref, y_ref, xbuf, sem):
-        t = pl.program_id(0)
-        r0 = t * R
-
-        # DMA cost on v5e is ~1.4 µs PER DESCRIPTOR regardless of size
-        # (measured, scripts/bisect_kernel_cost.py: 126 row-DMAs = 0.18 ms
-        # while the conv math is 0.04 ms) — so copy each tile's halo'd row
-        # span in ONE contiguous DMA and patch the reflect boundary rows
-        # with at most a handful of extra row copies on the first/last tile.
-        def copies():
-            cps = []
-            if n_tiles == 1:
-                cps.append(pltpu.make_async_copy(
-                    x_hbm.at[0, pl.ds(0, H)], xbuf.at[pl.ds(1, H)], sem))
-                cps.append(pltpu.make_async_copy(
-                    x_hbm.at[0, pl.ds(1, 1)], xbuf.at[pl.ds(0, 1)], sem))
-                for i in range(H + 1, R + 2):
-                    src = min(2 * H - 2 - (i - 1), H - 1)
-                    cps.append(pltpu.make_async_copy(
-                        x_hbm.at[0, pl.ds(src, 1)], xbuf.at[pl.ds(i, 1)],
-                        sem))
-                return [("all", cps)]
-            first = [
-                pltpu.make_async_copy(
-                    x_hbm.at[0, pl.ds(0, R + 1)], xbuf.at[pl.ds(1, R + 1)],
-                    sem),
-                pltpu.make_async_copy(
-                    x_hbm.at[0, pl.ds(1, 1)], xbuf.at[pl.ds(0, 1)], sem),
-            ]
-            interior = [pltpu.make_async_copy(
-                x_hbm.at[0, pl.ds(r0 - 1, R + 2)], xbuf, sem)]
-            tail = [pltpu.make_async_copy(
-                x_hbm.at[0, pl.ds(last * R - 1, body_last)],
-                xbuf.at[pl.ds(0, body_last)], sem)]
-            for i in range(body_last, R + 2):
-                src = 2 * H - 2 - (last * R - 1 + i)  # reflect, static
-                tail.append(pltpu.make_async_copy(
-                    x_hbm.at[0, pl.ds(src, 1)], xbuf.at[pl.ds(i, 1)], sem))
-            return [("first", first), ("interior", interior), ("tail", tail)]
-
-        groups = copies()
-        if len(groups) == 1:
-            for cp in groups[0][1]:
-                cp.start()
-            for cp in groups[0][1]:
-                cp.wait()
-        else:
-            conds = {"first": t == 0,
-                     "interior": jnp.logical_and(t > 0, t < last),
-                     "tail": t == last}
-            for name, cps in groups:
-                @pl.when(conds[name])
-                def _():
-                    for cp in cps:
-                        cp.start()
-                    for cp in cps:
-                        cp.wait()
-        xv = xbuf[...]
-        xp = jnp.concatenate([xv[:, 1:2], xv, xv[:, W - 2:W - 1]], axis=1)
-
-        acc = jnp.zeros((R * W, C_out), jnp.float32)
-        for dy in range(3):
-            for dx in range(3):
-                tap = xp[dy:dy + R, dx:dx + W]
-                acc = acc + jax.lax.dot_general(
-                    tap.reshape(R * W, C), w_ref[dy, dx],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-        y = acc + b_ref[...].astype(jnp.float32)
-        y_ref[...] = y.reshape(1, R, W, C_out).astype(y_ref.dtype)
-
-    Hp = n_tiles * R  # grid-padded output rows (cropped after)
-    y = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, R, W, C_out), lambda t: (0, t, 0, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, Hp, W, C_out), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((R + 2, W, C), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(x, w.astype(x.dtype), b.astype(x.dtype))
-    return y[:, :H]
+    Thin wrapper over :func:`conv3x3_block_pallas` (the per-channel stats
+    it also produces are a negligible VPU epilogue next to the tap
+    matmuls); kept as its own custom_vjp entry point for callers that
+    want the plain conv without the res-block machinery."""
+    y, _ = conv3x3_block_pallas(x, w, b, row_tile=row_tile,
+                                interpret=interpret)
+    return y
 
 
 def res_chain_wants_pallas(x, w):
