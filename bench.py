@@ -120,21 +120,23 @@ def main():
     configs = [
         ("f32_b1", jnp.float32, 1, "natural"),
         ("bf16_b1", jnp.bfloat16, 1, "natural"),
-        # fused-Pallas latency path: res-block pair kernels + subpixel
-        # decoder + register s2d/d2s (vst/models/faststyle_b1.py)
-        ("f32_b1_pallas", jnp.float32, 1, "b1"),
+        # layout-propagated forward (vst.models.faststyle_fast) at b1 —
+        # measured per round: the r2 phase-permuted pad gathers were folded
+        # into the s2d conv taps since
+        ("f32_b1_fast", jnp.float32, 1, "fast"),
+        ("bf16_b1_fast", jnp.bfloat16, 1, "fast"),
+        # fused-Pallas latency path (vst/models/faststyle_b1.py): kept as
+        # evidence — artifacts/pallas_probe.json carries the per-kernel
+        # Mosaic verdicts; on the v5e toolchain it has never beaten the
+        # natural path (bench r3c/r3d)
         ("bf16_b1_pallas", jnp.bfloat16, 1, "b1"),
-        ("f32_b1_fold", jnp.float32, 1, "b1_fold"),
-        ("bf16_b1_fold", jnp.bfloat16, 1, "b1_fold"),
         ("bf16_b8", jnp.bfloat16, 8, "natural"),
-        # layout-propagated forward (vst.models.faststyle_fast): wins at
-        # batch >= 4 where the phase-dense kernels saturate the MXU
+        # fast path saturates the MXU at batch
         ("bf16_b8_fast", jnp.bfloat16, 8, "fast"),
         ("bf16_b16_fast", jnp.bfloat16, 16, "fast"),
         ("bf16_b32_fast", jnp.bfloat16, 32, "fast"),
+        ("bf16_b64_fast", jnp.bfloat16, 64, "fast"),
         ("bf16_b32", jnp.bfloat16, 32, "natural"),
-        # fast path with the batched fused-Pallas res-block trunk
-        ("bf16_b16_fastp", jnp.bfloat16, 16, "fastp"),
     ]
     results = {}
     from vst.core.trace import annotate, profile_trace
@@ -160,8 +162,8 @@ def main():
         ok = [n for n in names if n in results]
         return min(ok, key=lambda k: results[k][1])
 
-    f32_pick = _pick("f32_b1", "f32_b1_pallas", "f32_b1_fold")
-    bf16_pick = _pick("bf16_b1", "bf16_b1_pallas", "bf16_b1_fold")
+    f32_pick = _pick("f32_b1", "f32_b1_fast")
+    bf16_pick = _pick("bf16_b1", "bf16_b1_fast", "bf16_b1_pallas")
 
     out = {
         "metric": "styled_frames_per_sec_per_chip_436x1024_johnson",

@@ -4,7 +4,7 @@ Times each stage of the fast (layout-propagated) path at batch 16 plus the
 batched Pallas res-block candidate, chained inside one jit (fori_loop) so
 dispatch cannot overlap the measurement. Writes a JSON report.
 
-Usage: python scripts/bisect_b16.py [out.json]
+Usage: python scripts/bisect_b16.py [out.json] [batch] [dtype]
 """
 
 import json
@@ -23,7 +23,11 @@ from vst.ops.image import reflect_pad
 
 K = 8
 B, H, W = 16, 436, 1024
+if len(sys.argv) > 2:
+    B = int(sys.argv[2])
 DTYPE = jnp.bfloat16
+if len(sys.argv) > 3:
+    DTYPE = jnp.dtype(sys.argv[3])
 
 
 def chain(fn, x0, iters=3):
@@ -46,7 +50,8 @@ def chain(fn, x0, iters=3):
 
 def main():
     rng = np.random.RandomState(0)
-    report = {"device": str(jax.devices()[0]), "batch": B, "dtype": "bf16"}
+    report = {"device": str(jax.devices()[0]), "batch": B,
+              "dtype": str(np.dtype(DTYPE))}
 
     def w_(kh, kw, ci, co):
         return jnp.asarray(
@@ -89,14 +94,18 @@ def main():
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     def res_xla(v):
-        y = jax.nn.relu(instance_norm(conv(v, wt1) + bt) * gt + gt)
+        # gt is f32 (norm stats precision) — cast back before the next
+        # bf16 conv or lax.conv rejects the mixed dtypes
+        y = jax.nn.relu(
+            instance_norm(conv(v, wt1) + bt) * gt + gt).astype(v.dtype)
         y = instance_norm(conv(y, wt2) + bt) * gt + gt
         return (0.8 * y + v).astype(v.dtype)
 
     rec("resblock_xla", res_xla, ht)
     rec("resblock_xla_zero_pad", lambda v: (lambda y: (0.8 * (
         instance_norm(jax.lax.conv_general_dilated(
-            jax.nn.relu(instance_norm(y) * gt + gt), wt2, (1, 1), "SAME",
+            jax.nn.relu(instance_norm(y) * gt + gt).astype(v.dtype),
+            wt2, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC")) + bt) * gt + gt)
         + v).astype(v.dtype))(jax.lax.conv_general_dilated(
             v, wt1, (1, 1), "SAME",
@@ -129,12 +138,44 @@ def main():
     hh = jnp.asarray(rng.rand(B, H // 4, W // 4, 48)).astype(DTYPE)
     rec("d2s4_out", lambda v: d2s(v, 4, 3), hh)
 
+    # natural-path stages (what FastStyleNet.apply runs — the b1 winner as
+    # of bench r3d): full-res reflect-pad convs + nearest-up decoder
+    def nat_conv(v, w, stride=1, t_pad=1):
+        return jax.lax.conv_general_dilated(
+            reflect_pad(v, t_pad), w, (stride, stride), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    xn = jnp.asarray(rng.rand(B, H, W, 3)).astype(DTYPE)
+    rec("nat_stem1_conv9", lambda v: nat_conv(v, w9, 1, 4), xn)
+    n1 = jnp.asarray(rng.rand(B, H, W, 32)).astype(DTYPE)
+    g32 = jnp.ones((32,), jnp.float32)
+    rec("nat_in_fullres_32", lambda v: jax.nn.relu(
+        (instance_norm(v) * g32 + g32).astype(v.dtype)), n1)
+    rec("nat_stem2_conv3_s2", lambda v: nat_conv(v, w3, 2, 1), n1)
+    n2 = jnp.asarray(rng.rand(B, H // 2, W // 2, 64)).astype(DTYPE)
+    rec("nat_stem3_conv3_s2", lambda v: nat_conv(v, w3b, 2, 1), n2)
+    nh = jnp.asarray(rng.rand(B, H // 2, W // 2, 128)).astype(DTYPE)
+
+    def up2(v):
+        Bv, Hv, Wv, Cv = v.shape
+        return jnp.broadcast_to(
+            v[:, :, None, :, None, :], (Bv, Hv, 2, Wv, 2, Cv)
+        ).reshape(Bv, Hv * 2, Wv * 2, Cv)
+
+    rec("nat_dec1_up2_conv3", lambda v: nat_conv(up2(v), wd1, 1, 1), ht)
+    nd = jnp.asarray(rng.rand(B, H // 2, W // 2, 64)).astype(DTYPE)
+    rec("nat_dec2_up2_conv3", lambda v: nat_conv(up2(v), wd2, 1, 1), nd)
+    nf = jnp.asarray(rng.rand(B, H, W, 32)).astype(DTYPE)
+    rec("nat_head_conv9", lambda v: nat_conv(v, wh, 1, 4), nf)
+    rec("nat_tanh_head", lambda v: jnp.tanh(v / 255.0) * 150.0 + 127.5, nf)
+
     # whole nets for cross-checking the sum
     from vst.models.faststyle import FastStyleNet
     from vst.models.faststyle_fast import fast_stylize
     m = FastStyleNet(n_styles=3)
     p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3), DTYPE), 1.0, 0)
     p = jax.tree.map(lambda a: a.astype(DTYPE), p["params"])
+    rec("full_natural", lambda v: m.apply({"params": p}, v, 1.0, 0)[1], x)
     rec("full_fast_xla_trunk", lambda v: fast_stylize(
         p, v, 1.0, 0, n_styles=3)[1], x)
     try:

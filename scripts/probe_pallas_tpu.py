@@ -70,7 +70,7 @@ def main():
 
     from vst.kernels.pallas_conv import (
         conv3x3_block_pallas, conv3x3_reflect, conv3x3_reflect_ref,
-        pallas_d2s, pallas_s2d, res_block_pallas, up2_conv_subpixel_pallas)
+        res_block_pallas, up2_conv_subpixel_pallas)
     from vst.kernels.layout import up2_conv_subpixel
     from vst.nn.norm import instance_norm
 
@@ -84,10 +84,12 @@ def main():
 
     from vst.kernels.layout import d2s as d2s_xla
     from vst.kernels.layout import s2d as s2d_xla
+    from vst.kernels.layout import d2s_via_conv, s2d_via_conv
 
     # stem1 s2d (padded input) and head d2s at the real shapes
     xt = jnp.asarray(rng.rand(1, 444, 1032, 3).astype(np.float32))
     xh = jnp.asarray(rng.rand(1, 109, 256, 48).astype(np.float32))
+    xb16 = jnp.asarray(rng.rand(16, 109, 256, 128).astype(np.float32))
     probes = [
         ("conv3x3_reflect", lambda: conv3x3_reflect(x, w, b),
          lambda: conv3x3_reflect_ref(x, w, b)),
@@ -95,13 +97,24 @@ def main():
         ("res_block", lambda: res_block_pallas(x, w, b, g, be, w, b, g, be,
                                                jnp.float32(1.0)),
          lambda: res_block_xla(x)),
+        ("res_block_r8", lambda: res_block_pallas(
+            x, w, b, g, be, w, b, g, be, jnp.float32(1.0), row_tile=8),
+         None),
+        ("res_block_b16", lambda: res_block_pallas(
+            xb16, w, b, g, be, w, b, g, be, jnp.float32(1.0)),
+         lambda: res_block_xla(xb16)),
         ("up2_dec1", lambda: up2_conv_subpixel_pallas(x, wd1, bd1),
          lambda: up2_conv_subpixel(x, wd1) + bd1),
         ("up2_dec2", lambda: up2_conv_subpixel_pallas(xd2, wd2, bd2),
          lambda: up2_conv_subpixel(xd2, wd2) + bd2),
-        ("s2d_relayout", lambda: pallas_s2d(xt, 4),
+        ("up2_dec2_r16",
+         lambda: up2_conv_subpixel_pallas(xd2, wd2, bd2, row_tile=16), None),
+        # pallas_{s2d,d2s} are illegal at the stem/head shapes (the f·C=12
+        # channel slab can't block the 48-lane axis); probe the identity-
+        # conv relayout (vst.kernels.layout.{s2d,d2s}_via_conv) instead
+        ("s2d_via_conv", lambda: s2d_via_conv(xt, 4),
          lambda: s2d_xla(xt, 4)),
-        ("d2s_relayout", lambda: pallas_d2s(xh, 4, 3),
+        ("d2s_via_conv", lambda: d2s_via_conv(xh, 4, 3),
          lambda: d2s_xla(xh, 4, 3)),
     ]
     for entry in probes:

@@ -256,3 +256,55 @@ def test_pallas_layout_passes_exact_and_adjoint():
     got = s2d_conv2d(xi, w, f=4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_via_conv_relayouts_exact_and_in_s2d_conv2d(monkeypatch):
+    """Identity-conv relayouts (s2d/d2s as stride-f convs) are bitwise vs
+    the XLA reshape∘transpose forms, and s2d_conv2d's VST_S2D_VIA_CONV
+    route stays exact vs the direct conv."""
+    from vst.kernels.layout import d2s, d2s_via_conv, s2d, s2d_via_conv
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, 44, 104, 3).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(s2d_via_conv(x, 4)),
+                                  np.asarray(s2d(x, 4)))
+    y = jnp.asarray(rng.randn(1, 11, 26, 48).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(d2s_via_conv(y, 4, 3)),
+                                  np.asarray(d2s(y, 4, 3)))
+
+    w = jnp.asarray(rng.randn(9, 9, 3, 8).astype(np.float32) * 0.1)
+    xi = jnp.asarray(rng.randn(1, 40, 48, 3).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        xi, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    monkeypatch.setenv("VST_S2D_VIA_CONV", "1")
+    got = s2d_conv2d(xi, w, f=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("B,H,R", [(2, 13, 4), (1, 12, 4), (3, 7, 8)])
+def test_conv3x3_block_pallas_batched_awkward_tiles(B, H, R):
+    """The v3 sidecar-halo kernel at H % row_tile ≠ 0 (boundary-pad row
+    patched inside the final grid-padded block), batched, with pre_norm —
+    y and the per-sample (sum, sumsq) stats must match the XLA math."""
+    from vst.kernels.pallas_conv import (conv3x3_block_pallas,
+                                         conv3x3_reflect_ref)
+
+    rng = np.random.RandomState(B * 100 + H)
+    W, C = 16, 8
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(C).astype(np.float32))
+    mu = x.mean((1, 2))
+    inv = 1.0 / (x.std((1, 2)) + 1e-3)
+    g = jnp.asarray(rng.rand(C).astype(np.float32) + 0.5)
+    be = jnp.asarray(rng.randn(C).astype(np.float32))
+    y, st = conv3x3_block_pallas(x, w, b, pre_norm=(mu, inv, g, be),
+                                 row_tile=R)
+    xn = jax.nn.relu((x - mu[:, None, None]) * (inv[:, None, None] * g) + be)
+    ref = conv3x3_reflect_ref(xn, w, b)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+    s_ref = jnp.stack([ref.sum((1, 2)), (ref * ref).sum((1, 2))], 1)
+    np.testing.assert_allclose(np.asarray(st), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-3)

@@ -827,7 +827,15 @@ def cmd_eval_obst(args):
         print(f"lambda_tcl={wt}: TCL-ST {summary[str(int(wt))]['TCL-ST_mean']:.4f} "
               f"DT {summary[str(int(wt))]['DT_ms_mean']:.0f} ms/frame")
     os.makedirs(args.out_dir, exist_ok=True)
-    with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+    # merge-update: the λ settings are run as SEPARATE queue jobs (one TPU
+    # client at a time), so a λ=0 run must not clobber the λ=2000 entry
+    summary_path = os.path.join(args.out_dir, "summary.json")
+    if os.path.exists(summary_path):
+        with open(summary_path) as f:
+            prev = json.load(f)
+        prev.update(summary)
+        summary = prev
+    with open(summary_path, "w") as f:
         json.dump(summary, f, indent=2, sort_keys=True)
 
 

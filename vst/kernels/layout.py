@@ -357,3 +357,38 @@ def up2_conv_subpixel4(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     y10 = c(xp[:, 1:, :-1], k10)[:, :h, :wd]
     y11 = c(xp[:, 1:, 1:], k11)[:, :h, :wd]
     return d2s(jnp.concatenate([y00, y01, y10, y11], axis=-1), 2, co)
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_id_weights(f: int, C: int):
+    """(f, f, C, f²·C) one-hot kernel: tap (a, b, c) → channel (a·f+b)·C+c.
+    Cached as a numpy constant so jit folds it once."""
+    w = np.zeros((f, f, C, f * f * C), np.float32)
+    for a in range(f):
+        for b in range(f):
+            for c in range(C):
+                w[a, b, c, (a * f + b) * C + c] = 1.0
+    return w
+
+
+def s2d_via_conv(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """s2d as a stride-f identity "patchify" conv (ViT-stem shape): XLA
+    lowers the reshape∘transpose∘reshape relayout (``s2d``) as an HBM
+    gather (~0.8 ms at the stem shape, scripts/bisect_stages.py); the
+    identity conv is one MXU matmul bounded by read+write bandwidth."""
+    C = x.shape[-1]
+    w = jnp.asarray(_s2d_id_weights(f, C), x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, w, (f, f), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def d2s_via_conv(x: jnp.ndarray, f: int, C: int) -> jnp.ndarray:
+    """d2s (pixel-shuffle) as a stride-f identity transposed conv — the
+    adjoint of :func:`s2d_via_conv`, same rationale."""
+    w = jnp.asarray(_s2d_id_weights(f, C), x.dtype)  # (f, f, C, f²C)
+    # conv_transpose with the (f, f, C, f²C) kernel read in reverse:
+    # out[b, i·f+a, j·f+p, c] = x[b, i, j, (a·f+p)·C+c]
+    return jax.lax.conv_transpose(
+        x, w.transpose(0, 1, 3, 2), (f, f), "VALID",
+        dimension_numbers=("NHWC", "HWOI", "NHWC"),
+        transpose_kernel=True)

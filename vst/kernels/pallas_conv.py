@@ -4,18 +4,30 @@ Round-2 measurement (NOTES_ROUND2.md, commit a7d0311): the s2d res-chain
 rewrite is 1.74× faster than XLA's natural-layout convs *if padding is
 free*, but the phase-permuted reflect-pad gathers in XLA erase the entire
 gain — XLA materializes the pad concats in HBM. Inside a Pallas kernel the
-pad rows arrive by reflect-indexed row DMA, the pad columns are built as a
-register value, and the k×k conv is k² tap matmuls with exact FLOPs; for
-the FastStyleNet residual trunk (C = C_out = 128) each tap is a
-(R·W, 128)×(128, 128) matmul that tiles the MXU exactly.
+pad rows arrive as 1-row "sidecar" blocks of the same array, the pad
+columns are built as a register value, and the k×k conv is k² tap matmuls
+with exact FLOPs; for the FastStyleNet residual trunk (C = C_out = 128)
+each tap is a (R·W, 128)×(128, 128) matmul that tiles the MXU exactly.
 
-Mosaic constraints discovered on v5e (scripts/bisect_bf16_pallas.py):
-* DMA targets must be sublane-aligned — copy full (1, W, C) rows into an
-  UNPADDED (R+2, W, C) scratch (offset-1 column slices of a padded scratch
-  fail to compile for bf16).
+Structure (v3): the round-2/3 manual double-buffer DMA protocol
+(cross-grid-step ``make_async_copy`` handoff with semaphore parity) both
+crashed the v5e server toolchain (``tpu_compile_helper exit 1``,
+artifacts/pallas_probe.json) and ran 17× slower than XLA where it did
+compile. v3 uses only vanilla machinery: blocked input specs that Pallas
+auto-pipelines (its pipeline already double-buffers HBM→VMEM fetches),
+with the row halo supplied by two extra 1-row blocked views of the SAME
+input whose ``index_map``s compute the reflected/clamped source row, and
+— when H % row_tile ≠ 0 — one vectorized ``where`` that patches the
+boundary-pad row where it falls inside the final (grid-padded, hence
+garbage-backed) block.
+
+Mosaic constraints that shaped v3 (scripts/bisect_bf16_pallas.py +
+artifacts/pallas_probe.json):
+* No cross-grid-step DMA handoff; no manual semaphores.
 * Build the column pad as a VALUE (concatenate) — in-place scratch stores
   at odd sublane offsets don't lower.
 * Tap slices must be static (dynamic_slice on values is not lowered).
+* Block specs may never tile the lane (channel) axis into sub-128 slabs.
 
 Reference: the torch forward pads with ``nn.ReflectionPad2d`` before every
 conv (methods/learning-based/network.py:147-170); parity is bitwise-exact
@@ -32,125 +44,53 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _reflect_row_index(r, H):
-    # torch ReflectionPad2d: row −1 → 1, row H → H−2
-    return jnp.where(r < 0, -r, jnp.where(r >= H, 2 * H - 2 - r, r))
+def _halo_specs(B, H, W, C, R, reflect, batch_first):
+    """Input specs for (x, top, bot): the main (1, R, W, C) row-tile block
+    plus two 1-row sidecar views of the same array whose index maps
+    resolve the halo rows — reflect (torch ReflectionPad2d: row −1 → 1,
+    row H → H−2) or edge clamp. ``batch_first`` picks the grid layout
+    (bi, t) vs (t, p)."""
+    top_pad = 1 if reflect else 0
+    bot_pad = max(H - 2, 0) if reflect else H - 1
+
+    if batch_first:
+        def xmap(bi, t):
+            return (bi, t, 0, 0)
+
+        def topmap(bi, t):
+            return (bi, jnp.where(t == 0, top_pad, t * R - 1), 0, 0)
+
+        def botmap(bi, t):
+            return (bi, jnp.where(t * R + R >= H, bot_pad, t * R + R), 0, 0)
+    else:
+        def xmap(t, p):
+            return (0, t, 0, 0)
+
+        def topmap(t, p):
+            return (0, jnp.where(t == 0, top_pad, t * R - 1), 0, 0)
+
+        def botmap(t, p):
+            return (0, jnp.where(t * R + R >= H, bot_pad, t * R + R), 0, 0)
+
+    return [
+        pl.BlockSpec((1, R, W, C), xmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, W, C), topmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, W, C), botmap, memory_space=pltpu.VMEM),
+    ]
 
 
-def _halo_row_groups(x_hbm, xbuf, sem, sample, H, R, n_tiles, reflect):
-    """Shared double-buffer DMA group builders for a halo'd (R+2)-row tile
-    stream. Returns (first, interior, tail): each returns the copy list
-    for tile 0 / interior tile ``tau`` / the last tile, targeting buffer
-    ``k``. ``reflect`` selects the boundary-pad row sources (torch
-    ReflectionPad2d) vs edge clamp. The SAME builders are used on the
-    issue and wait sides so semaphore counts always match."""
-    last = n_tiles - 1
-    body_last = max(0, H - (last * R - 1))
-
-    def pad_src(row):  # static python int: boundary row for logical `row`
-        if reflect:
-            return min(max(2 * H - 2 - row, 0), H - 1)
-        return H - 1
-
-    top_src = 1 if reflect else 0
-
-    def first(k):
-        sm = sem.at[k]
-        if n_tiles == 1:
-            cps = [pltpu.make_async_copy(
-                x_hbm.at[sample, pl.ds(0, H)], xbuf.at[k, pl.ds(1, H)], sm),
-                pltpu.make_async_copy(
-                    x_hbm.at[sample, pl.ds(top_src, 1)],
-                    xbuf.at[k, pl.ds(0, 1)], sm)]
-            for i in range(H + 1, R + 2):
-                cps.append(pltpu.make_async_copy(
-                    x_hbm.at[sample, pl.ds(pad_src(i - 1), 1)],
-                    xbuf.at[k, pl.ds(i, 1)], sm))
-            return cps
-        return [
-            pltpu.make_async_copy(x_hbm.at[sample, pl.ds(0, R + 1)],
-                                  xbuf.at[k, pl.ds(1, R + 1)], sm),
-            pltpu.make_async_copy(x_hbm.at[sample, pl.ds(top_src, 1)],
-                                  xbuf.at[k, pl.ds(0, 1)], sm),
-        ]
-
-    def interior(tau, k):
-        return [pltpu.make_async_copy(
-            x_hbm.at[sample, pl.ds(tau * R - 1, R + 2)], xbuf.at[k],
-            sem.at[k])]
-
-    def tail(k):
-        sm = sem.at[k]
-        cps = [pltpu.make_async_copy(
-            x_hbm.at[sample, pl.ds(last * R - 1, body_last)],
-            xbuf.at[k, pl.ds(0, body_last)], sm)]
-        for i in range(body_last, R + 2):
-            cps.append(pltpu.make_async_copy(
-                x_hbm.at[sample, pl.ds(pad_src(last * R - 1 + i), 1)],
-                xbuf.at[k, pl.ds(i, 1)], sm))
-        return cps
-
-    return first, interior, tail
-
-
-def _db_issue(t, gate, n_tiles, groups):
-    """Issue side of the double-buffer handoff: tile 0 synchronously at
-    the first gated step, tile t+1 into buffer (t+1)%2 otherwise. ``gate``
-    marks the one step per tile that owns DMA (True, or p == 0 when a
-    phase axis revisits the same rows)."""
-    first, interior, tail = groups
-    last = n_tiles - 1
-
-    @pl.when(jnp.logical_and(t == 0, gate))
-    def _():
-        for cp in first(0):
-            cp.start()
-
-    if n_tiles > 1:
-        for k in (0, 1):
-            nxt = jnp.logical_and(gate, jnp.equal(jax.lax.rem(t + 1, 2), k))
-
-            @pl.when(jnp.logical_and(
-                nxt, jnp.logical_and(t + 1 > 0, t + 1 < last)))
-            def _(k=k):
-                for cp in interior(t + 1, k):
-                    cp.start()
-
-            @pl.when(jnp.logical_and(nxt, t + 1 == last))
-            def _(k=k):
-                for cp in tail(k):
-                    cp.start()
-
-
-def _db_wait_compute(t, gate, n_tiles, groups, xbuf, compute):
-    """Wait side: await tile t's buffer (parity-static branches — Mosaic
-    needs static scratch indices for register loads), then run ``compute``
-    on the resident rows at EVERY step (waits only at gated steps)."""
-    first, interior, tail = groups
-    last = n_tiles - 1
-    for k in (0, 1):
-        par = jnp.equal(jax.lax.rem(t, 2), k)
-        at = jnp.logical_and(par, gate)
-
-        @pl.when(jnp.logical_and(at, t == 0))
-        def _(k=k):
-            for cp in first(k):
-                cp.wait()
-
-        if n_tiles > 1:
-            @pl.when(jnp.logical_and(at, jnp.logical_and(t > 0, t < last)))
-            def _(k=k):
-                for cp in interior(t, k):
-                    cp.wait()
-
-            @pl.when(jnp.logical_and(at, t == last))
-            def _(k=k):
-                for cp in tail(k):
-                    cp.wait()
-
-        @pl.when(par)
-        def _(k=k):
-            compute(xbuf[k])
+def _assemble_window(x_ref, top_ref, bot_ref, t, H, R):
+    """(R+2, W, C) halo window = top ⊕ block ⊕ bot, with the boundary pad
+    row patched in place when it falls INSIDE the final grid-padded block
+    (H % R ≠ 0: the block row at global index H is garbage — Pallas pads
+    partial boundary fetches — but tap dy=2 of the last valid output row
+    reads it; its correct value is exactly the bot sidecar)."""
+    xv = jnp.concatenate([top_ref[0], x_ref[0], bot_ref[0]], axis=0)
+    if H % R:
+        gids = t * R - 1 + jax.lax.broadcasted_iota(
+            jnp.int32, (R + 2, 1, 1), 0)
+        xv = jnp.where(gids == H, bot_ref[0], xv)
+    return xv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -233,7 +173,10 @@ def up2_conv_subpixel_pallas(x, w, b, row_tile: int = 8,
     (selected by the weight BlockSpec index_map — no register slicing)
     and stores rows of parity py; the (w, px, Co) → (2w, Co) column
     interleave and the row interleave are contiguous reinterpretations
-    done by ONE free XLA reshape outside the kernel.
+    done by ONE free XLA reshape outside the kernel. Row tiles and their
+    edge-clamped halo rows arrive as auto-pipelined blocked views
+    (_halo_specs); x's block index is p-invariant so the pipeline fetches
+    each tile once for both phases.
     """
     from vst.kernels.layout import fold_up2_kernel
 
@@ -245,44 +188,34 @@ def up2_conv_subpixel_pallas(x, w, b, row_tile: int = 8,
     # split by py → (2, 3, 3, Ci, 2·Co), each half's channels (px, Co)
     wf = wf.reshape(3, 3, Ci, 2, 2 * Co).transpose(3, 0, 1, 2, 4)
     b2 = jnp.tile(b, 2)  # (2·Co,), order (px, Co)
-    R = row_tile
+    # same v5e R·W ≤ 2048 clamp as conv3x3_block_pallas (R8·W512 crashed
+    # the remote compile helper; R4·W512 is the dec2 configuration)
+    R = max(1, min(row_tile, 2048 // wd if wd <= 2048 else 1))
     n_tiles = pl.cdiv(h, R)
 
-    def kernel(x_hbm, w_ref, b_ref, y_ref, xbuf, sem):
+    def kernel(x_ref, top_ref, bot_ref, w_ref, b_ref, y_ref):
         t = pl.program_id(0)
-        p = pl.program_id(1)
+        xv = _assemble_window(x_ref, top_ref, bot_ref, t, h, R)
+        # edge column pad: duplicate first/last columns
+        xp = jnp.concatenate([xv[:, 0:1], xv, xv[:, wd - 1:wd]], axis=1)
 
-        # edge row pad = clamped contiguous spans; one DMA group PER TILE
-        # (issued/awaited at the p == 0 phase step — the p == 1 step of the
-        # same tile reuses the resident buffer), double-buffered so tile
-        # t+1's rows stream in while tile t's two phases compute
-        groups = _halo_row_groups(x_hbm, xbuf, sem, 0, h, R, n_tiles,
-                                  reflect=False)
-        _db_issue(t, p == 0, n_tiles, groups)
-
-        def compute(xv):
-            # edge column pad: duplicate first/last columns
-            xp = jnp.concatenate([xv[:, 0:1], xv, xv[:, wd - 1:wd]], axis=1)
-
-            acc = jnp.zeros((R * wd, 2 * Co), jnp.float32)
-            for dy in range(3):
-                for dx in range(3):
-                    tap = xp[dy:dy + R, dx:dx + wd]
-                    acc = acc + jax.lax.dot_general(
-                        tap.reshape(R * wd, Ci), w_ref[0, dy, dx],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-            acc = acc + b_ref[...].astype(jnp.float32)
-            y_ref[...] = acc.reshape(1, R, 1, wd, 2 * Co).astype(y_ref.dtype)
-
-        _db_wait_compute(t, p == 0, n_tiles, groups, xbuf, compute)
+        acc = jnp.zeros((R * wd, 2 * Co), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = xp[dy:dy + R, dx:dx + wd]
+                acc = acc + jax.lax.dot_general(
+                    tap.reshape(R * wd, Ci), w_ref[0, dy, dx],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        acc = acc + b_ref[...].astype(jnp.float32)
+        y_ref[...] = acc.reshape(1, R, 1, wd, 2 * Co).astype(y_ref.dtype)
 
     y = pl.pallas_call(
         kernel,
         grid=(n_tiles, 2),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=_halo_specs(1, h, wd, Ci, R, reflect=False,
+                             batch_first=False) + [
             pl.BlockSpec((1, 3, 3, Ci, 2 * Co),
                          lambda t, p: (p, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -293,15 +226,8 @@ def up2_conv_subpixel_pallas(x, w, b, row_tile: int = 8,
             memory_space=pltpu.VMEM),
         # exact shape (boundary blocks masked) so the reshape below is free
         out_shape=jax.ShapeDtypeStruct((1, h, 2, wd, 2 * Co), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, R + 2, wd, Ci), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        # cross-step DMA handoff requires strictly sequential grid steps
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(x, wf.astype(x.dtype), b2.astype(x.dtype))
+    )(x, x, x, wf.astype(x.dtype), b2.astype(x.dtype))
     # (h, py, w, px, Co) contiguous ≡ (2h, 2w, Co): free reinterpretation
     return y.reshape(1, 2 * h, 2 * wd, Co)
 
@@ -357,87 +283,81 @@ def conv3x3_block_pallas(x, w, b, pre_norm=None, row_tile: int = 16,
     gamma, beta) — mean/inv_std (B, C) per-sample, gamma/beta (C,) —
     applied as relu((x−μ)·inv·γ+β) before padding. Returns
     (y (B, H, W, C_out), stats (B, 2, C_out) f32 [sum, sumsq] over the
-    H·W valid pixels of y). Batches map to a second grid axis (one
+    H·W valid pixels of y). Batches map to the outer grid axis (one
     sample's row tile per instance; instance-norm stats never cross
-    samples).
+    samples). Row tiles + reflect halo rows arrive as auto-pipelined
+    blocked views (_halo_specs) — Pallas's pipeline double-buffers the
+    HBM→VMEM fetches, which the retired manual DMA protocol did by hand.
     """
     if jax.default_backend() == "cpu":
         interpret = True
     B, H, W, C = x.shape
     C_out = w.shape[-1]
-    R = row_tile
+    # v5e server-Mosaic verdict (artifacts/pallas_probe.json): kernels
+    # whose flattened tap matmul has R·W ≥ 4096 rows crash the remote
+    # compile helper (R16·W256 and R8·W512 fail; R8·W256 compiles) —
+    # clamp the row tile so R·W ≤ 2048
+    R = max(1, min(row_tile, 2048 // W if W <= 2048 else 1))
     n_tiles = pl.cdiv(H, R)
     n_norm = 4 if pre_norm is not None else 0
 
     def kernel(*refs):
-        x_hbm, w_ref, b_ref = refs[0], refs[1], refs[2]
-        norm_refs = refs[3:3 + n_norm]
-        y_ref, st_ref = refs[3 + n_norm], refs[4 + n_norm]
-        xbuf, sem = refs[5 + n_norm], refs[6 + n_norm]
-        bi = pl.program_id(0)
+        x_ref, top_ref, bot_ref, w_ref, b_ref = refs[:5]
+        norm_refs = refs[5:5 + n_norm]
+        y_ref, st_ref = refs[5 + n_norm], refs[6 + n_norm]
         t = pl.program_id(1)
-
-        # double-buffered halo'd row DMA: tile τ's rows live in buffer
-        # τ%2; tile τ+1's copy is issued BEFORE waiting on tile τ's, so
-        # the next tile's HBM traffic overlaps this tile's matmuls (the
-        # single-buffer version stalled ~6 µs per 30 µs tile on the
-        # synchronous wait)
-        groups = _halo_row_groups(x_hbm, xbuf, sem, bi, H, R, n_tiles,
-                                  reflect=True)
-        _db_issue(t, True, n_tiles, groups)
-
-        def compute(xv):
-            r0 = t * R
-            if n_norm:
-                mu, inv = norm_refs[0][0], norm_refs[1][0]  # sample slabs
-                gam, bet = norm_refs[2][...], norm_refs[3][...]
-                xv = jax.nn.relu(
-                    ((xv.astype(jnp.float32) - mu) * (inv * gam) + bet)
-                ).astype(xv.dtype)
-            xp = jnp.concatenate([xv[:, 1:2], xv, xv[:, W - 2:W - 1]],
-                                 axis=1)
-
-            acc = jnp.zeros((R * W, C_out), jnp.float32)
-            for dy in range(3):
-                for dx in range(3):
-                    tap = xp[dy:dy + R, dx:dx + W]
-                    acc = acc + jax.lax.dot_general(
-                        tap.reshape(R * W, C), w_ref[dy, dx],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-            acc = acc + b_ref[...].astype(jnp.float32)
-            y_ref[...] = acc.reshape(1, R, W, C_out).astype(y_ref.dtype)
-
-            # per-channel stats over VALID rows (grid padding excluded)
-            valid = (r0 + jax.lax.broadcasted_iota(
-                jnp.int32, (R, 1), 0)) < H
-            am = jnp.where(
-                jnp.broadcast_to(valid[:, :, None], (R, W, C_out)).reshape(
-                    R * W, C_out),
-                acc, 0.0)
-            st_ref[0, 0:1] += jnp.sum(am, axis=0, keepdims=True)
-            st_ref[0, 1:2] += jnp.sum(am * am, axis=0, keepdims=True)
 
         @pl.when(t == 0)
         def _():
             st_ref[...] = jnp.zeros((1, 2, C_out), jnp.float32)
 
-        _db_wait_compute(t, True, n_tiles, groups, xbuf, compute)
+        xv = _assemble_window(x_ref, top_ref, bot_ref, t, H, R)
+        if n_norm:
+            mu, inv = norm_refs[0][0], norm_refs[1][0]  # sample slabs
+            gam, bet = norm_refs[2][...], norm_refs[3][...]
+            xv = jax.nn.relu(
+                ((xv.astype(jnp.float32) - mu) * (inv * gam) + bet)
+            ).astype(xv.dtype)
+        xp = jnp.concatenate([xv[:, 1:2], xv, xv[:, W - 2:W - 1]], axis=1)
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM)]
-    args = [x, w.astype(x.dtype), b.astype(x.dtype)]
+        acc = jnp.zeros((R * W, C_out), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = xp[dy:dy + R, dx:dx + W]
+                acc = acc + jax.lax.dot_general(
+                    tap.reshape(R * W, C), w_ref[dy, dx],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        acc = acc + b_ref[...].astype(jnp.float32)
+        y_ref[...] = acc.reshape(1, R, W, C_out).astype(y_ref.dtype)
+
+        # per-channel stats over VALID rows (grid padding excluded)
+        valid = (t * R + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)) < H
+        am = jnp.where(
+            jnp.broadcast_to(valid[:, :, None], (R, W, C_out)).reshape(
+                R * W, C_out),
+            acc, 0.0)
+        st_ref[0, 0:1] += jnp.sum(am, axis=0, keepdims=True)
+        st_ref[0, 1:2] += jnp.sum(am * am, axis=0, keepdims=True)
+
+    in_specs = _halo_specs(B, H, W, C, R, reflect=True, batch_first=True) + [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    args = [x, x, x, w.astype(x.dtype), b.astype(x.dtype)]
     if pre_norm is not None:
         mu, inv, gam, bet = pre_norm
-        # per-sample (B, C) stats blocked by the batch grid axis
-        in_specs.append(pl.BlockSpec((1, C), lambda bi, t: (bi, 0),
+        # per-sample stats blocked by the batch grid axis; carried as
+        # (B, 1, C) so the block's last two dims (1, C) equal the array's
+        # (a (1, C) block of a (B, C) array is illegal for B > 1: bs1=1
+        # vs as1=B fails the (8, 128)-divisibility rule)
+        in_specs.append(pl.BlockSpec((1, 1, C), lambda bi, t: (bi, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(mu.reshape(B, C).astype(jnp.float32))
-        in_specs.append(pl.BlockSpec((1, C), lambda bi, t: (bi, 0),
+        args.append(mu.reshape(B, 1, C).astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((1, 1, C), lambda bi, t: (bi, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(inv.reshape(B, C).astype(jnp.float32))
+        args.append(inv.reshape(B, 1, C).astype(jnp.float32))
         for v in (gam, bet):
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(v.astype(jnp.float32))
@@ -455,13 +375,6 @@ def conv3x3_block_pallas(x, w, b, pre_norm=None, row_tile: int = 16,
             jax.ShapeDtypeStruct((B, H, W, C_out), x.dtype),
             jax.ShapeDtypeStruct((B, 2, C_out), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, R + 2, W, C), x.dtype),  # double-buffered rows
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        # cross-step DMA handoff requires strictly sequential grid steps
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(*args)
     return y, st

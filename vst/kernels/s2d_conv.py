@@ -97,6 +97,18 @@ def s2d_conv2d(x: jnp.ndarray, w: jnp.ndarray, f: int = 4) -> jnp.ndarray:
         y = pallas_d2s(y, f, Co)
         return y[:, :Ho, :Wo, :]
 
+    if os.environ.get("VST_S2D_VIA_CONV") == "1":
+        # layout passes as identity convs (MXU, bandwidth-bound) instead
+        # of XLA's reshape∘transpose HBM gathers — opt-in pending a TPU
+        # A/B (scripts/probe2.py)
+        from vst.kernels.layout import d2s_via_conv, s2d_via_conv
+
+        xs = s2d_via_conv(xp, f)
+        y = jax.lax.conv_general_dilated(
+            xs, _s2d_weights(w, f), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return d2s_via_conv(y, f, Co)[:, :Ho, :Wo, :]
+
     xs = xp.reshape(B, Hp2 // f, f, Wp2 // f, f, Ci)
     xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp2 // f, Wp2 // f, f * f * Ci)
 

@@ -18,9 +18,16 @@ import jax
 import jax.numpy as jnp
 
 
+_ALIASES = {"bf16": "bfloat16", "f32": "float32", "fp32": "float32",
+            "f16": "float16", "fp16": "float16"}
+
+
 def compute_dtype_of(name: Optional[str]):
-    """Config string → jnp dtype (None = full f32, the reference policy)."""
-    return jnp.dtype(name) if name else None
+    """Config string → jnp dtype (None = full f32, the reference policy).
+    Accepts the common short aliases (bf16, f32, ...)."""
+    if not name:
+        return None
+    return jnp.dtype(_ALIASES.get(name, name))
 
 
 def cast_tree(tree, dtype):
