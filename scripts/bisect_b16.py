@@ -8,8 +8,11 @@ Usage: python scripts/bisect_b16.py [out.json] [batch] [dtype]
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

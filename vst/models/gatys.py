@@ -15,10 +15,16 @@ Reference math reproduced:
   content/warp/mask targets (:359-364, align_corners=False);
 * warm start ``pre = mask·warp(prev_styled, bf) + (1−mask)·img`` (:500).
 
-LBFGS under jit: ``optax.scale_by_lbfgs`` (history 100, unit step — torch's
-``optim.LBFGS`` default runs NO line search and steps lr·direction with
-lr=1) inside a ``lax.scan`` with a static per-level iteration count. One
-compiled program per pyramid level shape.
+LBFGS under jit: ``vst.ops.lbfgs.lbfgs_minimize`` — a torch-exact
+replication of ``torch.optim.LBFGS`` (no-line-search branch) inside a
+``lax.scan``: same two-loop recursion with ``ys > 1e-10`` curvature gating,
+same first-step ``min(1, 1/‖g‖₁)`` scaling, and the reference driver's
+closure-call counting (``while n_iter <= max_iter: step(closure)``,
+obst_eval.py:386-404, runs [60, 60, 40] iterations for the configured
+[50, 40, 30]). One compiled program per pyramid level shape.
+Round ≤3 used ``optax.scale_by_lbfgs`` (unit first step, [50, 40, 30]
+iterations) — trajectories never re-converge after a different first
+iterate, which blocked pipeline-level parity with the living harness.
 """
 
 from __future__ import annotations
@@ -29,7 +35,6 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
-import optax
 
 from vst.perceptual.vgg import CaffeVGG, obst_prep
 from vst.ops.losses import gram_matrix
@@ -112,15 +117,14 @@ class OBST:
         return loss
 
     def _level_fn(self, shape: Tuple[int, int], iters: int):
-        """Compiled LBFGS descent at one pyramid level."""
+        """Compiled LBFGS descent at one pyramid level — torch-exact
+        semantics via vst.ops.lbfgs (``iters`` is already the closure-call
+        count of the reference's while-loop driver)."""
         key = (shape, iters)
         if key in self._level_fns:
             return self._level_fns[key]
 
-        tx = optax.chain(
-            optax.scale_by_lbfgs(memory_size=self.memory_size),
-            optax.scale(-1.0),
-        )
+        from vst.ops.lbfgs import lbfgs_minimize
 
         @jax.jit
         def run(opt_img, style_grams, content_feats, warp_img, mask_img,
@@ -128,20 +132,7 @@ class OBST:
             loss_fn = lambda x: self._loss(
                 x, style_grams, content_feats, warp_img, mask_img, weight_tcl
             )
-            state = tx.init(opt_img)
-
-            def body(carry, _):
-                x, state = carry
-                loss, grad = jax.value_and_grad(loss_fn)(x)
-                updates, state = tx.update(
-                    grad, state, x, value=loss, grad=grad,
-                    value_fn=loss_fn,
-                )
-                x = optax.apply_updates(x, updates)
-                return (x, state), loss
-
-            (x, _), losses = jax.lax.scan(body, (opt_img, state), None, length=iters)
-            return x, losses
+            return lbfgs_minimize(loss_fn, opt_img, num_iters=iters)
 
         self._level_fns[key] = run
         return run
@@ -170,8 +161,11 @@ class OBST:
                     c.astype(self.compute_dtype), list(CONTENT_LAYERS))
             ])
 
+        from vst.ops.lbfgs import torch_eval_counts
+
         opt_img = pre
-        for lvl, (shape, iters) in enumerate(zip(pyr_shapes, self.max_iters)):
+        eval_counts = torch_eval_counts(self.max_iters)
+        for lvl, (shape, iters) in enumerate(zip(pyr_shapes, eval_counts)):
             opt_img = resize_bilinear(opt_img, shape, align_corners=False)
             run = self._level_fn(shape, iters)
             opt_img, _ = run(
