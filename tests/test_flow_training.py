@@ -45,3 +45,77 @@ def test_augmentor_flow_consistency():
 def test_flow_viz_output():
     img = flow_to_image(np.zeros((8, 8, 2), np.float32))
     assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+
+
+def _write_kitti_png(path, flow, valid):
+    """frame_utils writeFlowKITTI: uint16 png, channels (u*64+2^15, v*64+2^15,
+    valid)."""
+    import cv2
+
+    h, w = flow.shape[:2]
+    out = np.zeros((h, w, 3), np.uint16)
+    out[..., :2] = (flow * 64.0 + 2 ** 15).astype(np.uint16)
+    out[..., 2] = valid.astype(np.uint16)
+    cv2.imwrite(str(path), out[..., ::-1])  # cv2 writes BGR order
+
+
+def test_kitti_layout_and_sparse_read(tmp_path):
+    """KITTI-2015 dir layout + 16-bit sparse flow roundtrip
+    (utils/raft/raft/datasets.py:161-177)."""
+    import imageio.v2 as imageio
+
+    from vst.flow.datasets import KITTIFlow
+
+    rng = np.random.RandomState(0)
+    img_dir = tmp_path / "training" / "image_2"
+    flow_dir = tmp_path / "training" / "flow_occ"
+    img_dir.mkdir(parents=True)
+    flow_dir.mkdir(parents=True)
+    H, W = 16, 24
+    flow = (rng.rand(H, W, 2) * 20 - 10).round(2).astype(np.float32)
+    valid = (rng.rand(H, W) > 0.3).astype(np.float32)
+    for k in range(2):
+        for suf in ("10", "11"):
+            imageio.imwrite(img_dir / f"00000{k}_{suf}.png",
+                            (rng.rand(H, W, 3) * 255).astype(np.uint8))
+        _write_kitti_png(flow_dir / f"00000{k}_10.png", flow, valid)
+
+    ds = KITTIFlow(str(tmp_path), split="training")
+    assert len(ds) == 2
+    i1, i2, f, v = ds[0]
+    assert i1.shape == (H, W, 3) and f.shape == (H, W, 2)
+    np.testing.assert_allclose(f, flow, atol=1 / 64.0)
+    np.testing.assert_array_equal(v, valid)
+
+    ds_test = KITTIFlow(str(tmp_path), split="training")
+    assert ds_test.flow_list  # training split has labels
+
+
+def test_hd1k_layout(tmp_path):
+    """HD1K per-sequence consecutive pairs; the last frame of each sequence
+    has no pair (datasets.py:180-196)."""
+    import imageio.v2 as imageio
+
+    from vst.flow.datasets import HD1KFlow
+
+    rng = np.random.RandomState(1)
+    H, W = 16, 24
+    img_dir = tmp_path / "hd1k_input" / "image_2"
+    flow_dir = tmp_path / "hd1k_flow_gt" / "flow_occ"
+    img_dir.mkdir(parents=True)
+    flow_dir.mkdir(parents=True)
+    for seq in range(2):
+        for fr in range(3):
+            # HD1K ships grayscale frames
+            imageio.imwrite(img_dir / ("%06d_%04d.png" % (seq, fr)),
+                            (rng.rand(H, W) * 255).astype(np.uint8))
+            _write_kitti_png(flow_dir / ("%06d_%04d.png" % (seq, fr)),
+                             rng.rand(H, W, 2).astype(np.float32),
+                             np.ones((H, W), np.float32))
+
+    ds = HD1KFlow(str(tmp_path))
+    # 3 flows per sequence → 2 pairs per sequence (len(flows) - 1)
+    assert len(ds) == 4
+    i1, i2, f, v = ds[0]
+    assert i1.shape == (H, W, 3)  # grayscale replicated to 3ch
+    assert v.min() == 1.0

@@ -807,6 +807,14 @@ def cmd_eval_obst(args):
         "n_frames": args.n_frames, "iters_pyr": list(args.iters_pyr),
         "vgg_backbone": "random-he",
         "device": str(jax.devices()[0]),
+        "obst_dtype": "bfloat16" if args.obst_bf16 else "float32",
+        "methodology": (
+            "DT timer wraps obst.run ONLY (the reference's t_start/t_end "
+            "region, obst_eval.py:524-531); per-frame RAFT (fwd+bwd, and "
+            "the t-5 pair where applicable) runs OUTSIDE the timer and is "
+            "reported as RAFT_ms_mean. LBFGS iteration counts are the "
+            "torch closure-call counts of the reference driver: "
+            "[50,40,30] -> [60,60,40] (vst.ops.lbfgs.torch_eval_counts)."),
     }
     for wt in args.lambda_tcl:
         out = os.path.join(args.out_dir, str(int(wt)))
@@ -822,6 +830,8 @@ def cmd_eval_obst(args):
             "TCL-ST_mean": float(np.mean(sts)),
             "TCL-LT_mean": float(np.mean(
                 [v for v in res["TCL-LT"].values()])),
+            "RAFT_ms_mean": float(np.mean(
+                list(res["RAFT-MS"].values()))) if "RAFT-MS" in res else None,
             "wall_s": wall,
         }
         print(f"lambda_tcl={wt}: TCL-ST {summary[str(int(wt))]['TCL-ST_mean']:.4f} "

@@ -3,9 +3,11 @@
 These bind each model family's pipeline conventions to the shared harnesses
 (vst.eval.sintel / vst.eval.fc2), reproducing the per-method eval clones:
 
-* feed-forward (LBST): frames in [0,1], outputs clipped; style 3 rendered
-  grayscale (``fast_style_transfer.py:466-469`` — the style-image itself is
-  grayscale, so the eval converts outputs to gray for that style);
+* feed-forward (LBST): eval frames normalized to [−1,1] (mean/std 0.5,
+  ``fast_style_transfer.py:407-410`` — training feeds [0,1]; the eval-time
+  range is a reference quirk kept for parity), outputs clipped to [0,1];
+  style 3 saved grayscale (``fast_style_transfer.py:466-469``/:552 — a
+  save_image-time effect only; TCL runs on the colored output);
 * OBST: caffe-BGR ×255 space, streaming warm start from the warped previous
   stylized frame (``obst_eval.py:486-558``), TCL weights 0 / 2000;
 * GAN families: frames in [−1,1]; StarGAN v2 draws a latent style per frame
@@ -24,29 +26,49 @@ from vst.eval.sintel import evaluate_videos
 from vst.data.datagen import to_grayscale3
 
 
-def faststyle_stylize_fn(trainer, params, grayscale_style: Optional[int] = 2):
+def faststyle_stylize_fn(trainer, params):
     """stylize_fn for evaluate_videos: style pytree = style id (int).
-    grayscale_style: 0-based style id rendered gray (reference style 3 ==
-    sid 2 in 0-based ids)."""
+    Output = clamp(model/255, 0, 1) exactly like the harness
+    (``fast_style_transfer.py:514-515``). NOTE the style-3 grayscale quirk
+    (:466-469) affects ONLY the saved PNGs (``save_image(..., gray=gray)``
+    :552) — the TCL math runs on the colored output, so the gray conversion
+    lives in ``grayscale_save_transform``, not here (pipeline-parity-tested
+    vs the living harness in tests/test_pipeline_parity.py)."""
 
     def fn(img, style_id):
         _, out = trainer.model.apply({"params": params}, img, 1.0, style_id)
-        out = jnp.clip(out / 255.0, 0.0, 1.0)
-        if grayscale_style is not None:
-            g = (0.299 * out[..., 0] + 0.587 * out[..., 1] + 0.114 * out[..., 2])
-            gray = jnp.repeat(g[..., None], 3, axis=-1)
-            out = jnp.where(jnp.asarray(style_id) == grayscale_style, gray, out)
-        return out
+        return jnp.clip(out / 255.0, 0.0, 1.0)
+
+    return fn
+
+
+def grayscale_save_transform(grayscale_style: Optional[int] = 2):
+    """Frame-save postprocess reproducing ``save_image(..., gray=True)`` for
+    reference style 3 (0-based sid 2): PIL ``Grayscale`` = ITU-R 601 luma."""
+
+    def fn(style_index, frame):
+        if grayscale_style is None or style_index != grayscale_style:
+            return frame
+        g = (0.299 * frame[..., 0] + 0.587 * frame[..., 1]
+             + 0.114 * frame[..., 2])
+        return np.repeat(np.asarray(g)[..., None], 3, axis=-1)
 
     return fn
 
 
 def evaluate_sintel_faststyle(trainer, params, videos, raft_apply,
                               styles=(0, 1, 2), out_path=None, **kw):
+    """The harness normalizes frames with mean/std 0.5
+    (``fast_style_transfer.py:407-410``) — the net SEES [−1,1] frames at
+    eval even though training feeds [0,1] batches; RAFT also receives the
+    [−1,1] frames (and re-applies its own 2·(x/255)−1 internally,
+    raft.py:89-90). Rounds ≤3 fed [0,1] here — fixed for pipeline parity
+    with the living harness."""
     return evaluate_videos(
         videos, faststyle_stylize_fn(trainer, params), raft_apply,
         styles=list(styles), out_path=out_path,
-        frame_transform=None,  # [0,1] pipeline
+        frame_transform=lambda f: f * 2.0 - 1.0,
+        save_transform=grayscale_save_transform(),
         **kw,
     )
 
@@ -124,12 +146,25 @@ def cyclegan_stylize_fn(trainers_params: Sequence):
 
 def evaluate_sintel_obst(obst, videos, raft_apply, style_images,
                          pyr_shapes, weight_tcl: float = 0.0,
-                         out_path=None, lt_len: int = 5):
+                         out_path=None, lt_len: int = 5,
+                         literal_mask_zero: bool = False):
     """OBST streaming eval (``obst_eval.py:413-566``): per frame, RAFT flow
     vs the previous frame, fb mask, warm start from the warped previous
     STYLIZED frame, LBFGS, then TCL-ST vs the warm start and TCL-LT via RAFT
     to t−5. Stateful across frames — handled here rather than in the generic
-    harness."""
+    harness.
+
+    ``literal_mask_zero``: the LIVING reference zeroes ``mask_last`` right
+    before ``net.run`` (obst_eval.py:510, a leftover debug line under a
+    commented-out block) — that makes the in-closure TCL term inert and
+    TCL-ST ≡ 0, which contradicts the reference's own committed golden JSONs
+    (nonzero λ-contrast 15.16 → 5.54). Default False reproduces the
+    committed-golden behavior (live mask, matching the FC2 path and the
+    thesis); True replicates the living code line-for-line. BOTH modes are
+    pipeline-parity-tested against the reference source in
+    tests/test_pipeline_parity.py (golden mode against the source with the
+    single debug line excised). The warm start always uses the live mask —
+    it is computed before the zeroing either way (obst_eval.py:500)."""
     import time as _time
 
     from vst.ops.flowtools import fbc_mask
@@ -139,13 +174,22 @@ def evaluate_sintel_obst(obst, videos, raft_apply, style_images,
     from vst.core.metrics import save_json
     import os
 
+    raft_ms_acc = []
+
     def compute_raft(i1, i2):
+        # timed separately from DT: the reference's DT timer wraps net.run
+        # only (obst_eval.py:524-531); RAFT cost is reported as its own
+        # RAFT-MS metric so the DT comparison vs eval_sintel/*/DT.json is
+        # region-for-region honest
+        t0 = _time.perf_counter()
         padder = InputPadder(i1.shape)
         a, b = padder.pad(i1, i2)
         _, up = raft_apply(a, b)
+        up.block_until_ready()
+        raft_ms_acc.append((_time.perf_counter() - t0) * 1000)
         return padder.unpad(up)
 
-    tcl_st, tcl_lt, dt = {}, {}, {}
+    tcl_st, tcl_lt, dt, raft_ms = {}, {}, {}, {}
     n_styles = style_images.shape[0]
     warmed = set()  # (pyr_shapes, weight_tcl) programs already compiled
     for video in videos:
@@ -170,8 +214,12 @@ def evaluate_sintel_obst(obst, videos, raft_apply, style_images,
             for i in range(len(video)):
                 img = obst_prep(frames[i:i + 1])
                 if i == 0:
+                    # frame 0 runs with a ZERO mask (obst_eval.py:507 else-
+                    # branch; the FC2 path stylizes frame 1 the same way,
+                    # :651) — rounds ≤3 used ones here, a parity bug that
+                    # pinned frame 0 to the content image at λ_tcl>0
                     pre = img
-                    mask = jnp.ones(img.shape[:3] + (1,))
+                    mask = jnp.zeros(img.shape[:3] + (1,))
                 else:
                     prev = obst_prep(frames[i - 1:i])
                     ff = compute_raft(prev, img)
@@ -179,13 +227,17 @@ def evaluate_sintel_obst(obst, videos, raft_apply, style_images,
                     # OBST's vendored flowtools disables the occ term
                     mask = fbc_mask(ff, bf, use_occlusion=False)
                     pre = obst.warm_start(prev_styled, img, bf, mask)
+                run_mask = jnp.zeros_like(mask) if literal_mask_zero else mask
                 t0 = _time.perf_counter()
-                styled = obst.run(pre, img, mask, pyr_shapes,
+                # timed region = net.run only, matching the reference's
+                # t_start/t_end around it (obst_eval.py:524-531); RAFT and
+                # the warm start run OUTSIDE the timer on both sides
+                styled = obst.run(pre, img, run_mask, pyr_shapes,
                                   weight_tcl=weight_tcl)
                 float(styled.sum())  # sync
                 dt_vals.append((_time.perf_counter() - t0) * 1000)
                 if i > 0:
-                    v = jnp.sqrt(jnp.mean((mask * (styled - pre)) ** 2))
+                    v = jnp.sqrt(jnp.mean((run_mask * (styled - pre)) ** 2))
                     st_vals.append(float(v))
                 if i >= lt_len:
                     past = obst_prep(frames[i - lt_len:i - lt_len + 1])
@@ -200,12 +252,20 @@ def evaluate_sintel_obst(obst, videos, raft_apply, style_images,
             tcl_st[f"TCL-ST_{key}"] = float(np.mean(st_vals)) if st_vals else 0.0
             tcl_lt[f"TCL-LT_{key}"] = float(np.mean(lt_vals)) if lt_vals else 0.0
             dt[f"DT_{key}"] = float(np.mean(dt_vals))
+            if raft_ms_acc:
+                raft_ms[f"RAFT-MS_{key}"] = float(np.mean(raft_ms_acc))
+                raft_ms_acc.clear()
 
     results = {"TCL-ST": tcl_st, "TCL-LT": tcl_lt, "DT": dt}
     if out_path:
         for out_id, data in results.items():
             save_json(data, os.path.join(out_path, out_id + ".json"),
                       num_styles=n_styles)
+        if raft_ms:  # not a reference golden — vst-only provenance file
+            save_json(raft_ms, os.path.join(out_path, "RAFT-MS.json"),
+                      num_styles=n_styles)
+    if raft_ms:
+        results["RAFT-MS"] = raft_ms
     return results
 
 

@@ -144,12 +144,16 @@ def evaluate_videos(
     dt_iters: int = 20,  # match bench.py's chain length (sync amortization)
     num_domains: Optional[int] = None,
     flow_fn: Optional[Callable] = None,
+    save_transform: Optional[Callable] = None,
 ) -> Dict[str, Dict[str, float]]:
     """Run the full Sintel benchmark.
 
     ``styles``: list of style pytrees; style index d is reported as ``_s{d+1}``.
     ``frame_transform``: maps [0,1] frames into the method's pipeline range
-    (e.g. ×2−1 for the GAN family). Returns {"TCL-ST": {...}, "TCL-LT": ...,
+    (e.g. ×2−1 for the GAN family). ``save_transform(style_index, frame)``
+    postprocesses SAVED frames only (the reference's style-3 grayscale is a
+    save_image-time effect, fast_style_transfer.py:466-469/:552 — TCL math
+    never sees it). Returns {"TCL-ST": {...}, "TCL-LT": ...,
     "DT": ...} dicts with reference-style aggregation; writes JSONs when
     ``out_path`` given.
     """
@@ -193,7 +197,8 @@ def evaluate_videos(
                 results_for = _eval_one(
                     video, frames, n, d, style, stylize_prog, tcl_prog,
                     lt_len, dt_iters, save_frames, out_path,
-                    tcl_gt_prog=tcl_gt_prog, flow_fn=flow_fn)
+                    tcl_gt_prog=tcl_gt_prog, flow_fn=flow_fn,
+                    save_transform=save_transform)
                 key = f"{video.name}_s{d + 1}"
                 tcl_st[f"TCL-ST_{key}"], tcl_lt[f"TCL-LT_{key}"], dt[f"DT_{key}"] = results_for
     nd = (num_domains or len(styles) + 1) - 1
@@ -215,7 +220,7 @@ def evaluate_videos(
 
 def _eval_one(video, frames, n, d, style, stylize_prog, tcl_prog,
               lt_len, dt_iters, save_frames, out_path,
-              tcl_gt_prog=None, flow_fn=None):
+              tcl_gt_prog=None, flow_fn=None, save_transform=None):
     """One (video, style) pass: DT chained timing + per-frame ST/LT TCL.
     Phases carry profiler annotations (vst.core.trace) so a
     VST_PROFILE_DIR trace shows DT vs TCL device time separately."""
@@ -259,6 +264,8 @@ def _eval_one(video, frames, n, d, style, stylize_prog, tcl_prog,
                 lt_vals.append(float(tcl_pair(img, i - lt_len, i)))
             if save_frames and out_path:
                 x_fake = np.asarray(stylize_prog(img, style))[0]
+                if save_transform is not None:
+                    x_fake = save_transform(d, x_fake)
                 _save_frame(x_fake, os.path.join(out_path, key, f"frame_{i:04d}.png"))
 
     st = float(np.mean(st_vals)) if st_vals else 0.0

@@ -102,12 +102,23 @@ class FlowAugmentor:
 
 
 class FlowDataset:
-    """Base: list of (img1, img2, flow) file triplets → augmented samples."""
+    """Base: list of (img1, img2, flow) file triplets → augmented samples.
 
-    def __init__(self, augmentor: Optional[FlowAugmentor] = None):
+    ``sparse=True`` switches to the KITTI/HD1K convention
+    (``utils/raft/raft/datasets.py:161-196``): flow stored as 16-bit PNGs
+    whose third channel is the validity mask (frame_utils readFlowKITTI);
+    the dense-flow magnitude gate is replaced by that mask. The augmentor is
+    skipped for sparse samples — the reference's SparseFlowAugmentor resizes
+    valid pixels by coordinate scatter, which vst's training recipe (dense
+    FlyingChairs/Sintel) never exercises; sparse layouts ship for data
+    parity and evaluation, not augmentation."""
+
+    def __init__(self, augmentor: Optional[FlowAugmentor] = None,
+                 sparse: bool = False):
         self.image_list: List[Tuple[str, str]] = []
         self.flow_list: List[str] = []
         self.augmentor = augmentor
+        self.sparse = sparse
 
     def __len__(self):
         return len(self.image_list)
@@ -118,6 +129,16 @@ class FlowDataset:
         p1, p2 = self.image_list[idx]
         img1 = imageio.imread(p1).astype(np.float32)
         img2 = imageio.imread(p2).astype(np.float32)
+        if img1.ndim == 2:  # HD1K grayscale inputs
+            img1 = np.repeat(img1[..., None], 3, axis=-1)
+            img2 = np.repeat(img2[..., None], 3, axis=-1)
+        if self.sparse:
+            from vst.flow.io import read_kitti_png
+
+            fv = read_kitti_png(self.flow_list[idx])
+            flow, valid = fv[..., :2], fv[..., 2] > 0.5
+            return (img1, img2, flow.astype(np.float32),
+                    valid.astype(np.float32))
         flow = read_flo(self.flow_list[idx])
         if self.augmentor is not None:
             img1, img2, flow = self.augmentor(img1, img2, flow)
@@ -163,6 +184,51 @@ class MpiSintelFlow(FlowDataset):
                 ))
             for f in sorted(os.listdir(os.path.join(flow_root, scene))):
                 self.flow_list.append(os.path.join(flow_root, scene, f))
+
+
+class KITTIFlow(FlowDataset):
+    """KITTI-2015 layout (``utils/raft/raft/datasets.py:161-177``):
+    ``<split>/image_2/*_10.png`` / ``*_11.png`` pairs; training flow from
+    ``<split>/flow_occ/*_10.png`` 16-bit sparse PNGs."""
+
+    def __init__(self, root: str, split: str = "training"):
+        super().__init__(sparse=True)
+        base = os.path.join(root, split)
+        img_dir = os.path.join(base, "image_2")
+        first = sorted(f for f in os.listdir(img_dir) if f.endswith("_10.png"))
+        second = sorted(f for f in os.listdir(img_dir) if f.endswith("_11.png"))
+        for a, b in zip(first, second):
+            self.image_list.append((os.path.join(img_dir, a),
+                                    os.path.join(img_dir, b)))
+        if split == "training":
+            flow_dir = os.path.join(base, "flow_occ")
+            self.flow_list = [os.path.join(flow_dir, f)
+                              for f in sorted(os.listdir(flow_dir))
+                              if f.endswith("_10.png")]
+
+
+class HD1KFlow(FlowDataset):
+    """HD1K layout (``utils/raft/raft/datasets.py:180-196``): per-sequence
+    ``hd1k_input/image_2/%06d_*.png`` frames with
+    ``hd1k_flow_gt/flow_occ/%06d_*.png`` sparse flows; consecutive-frame
+    pairs within each sequence (the last frame of a sequence has no flow)."""
+
+    def __init__(self, root: str):
+        super().__init__(sparse=True)
+        import glob as _glob
+
+        seq_ix = 0
+        while True:
+            flows = sorted(_glob.glob(os.path.join(
+                root, "hd1k_flow_gt", "flow_occ", "%06d_*.png" % seq_ix)))
+            images = sorted(_glob.glob(os.path.join(
+                root, "hd1k_input", "image_2", "%06d_*.png" % seq_ix)))
+            if not flows:
+                break
+            for i in range(len(flows) - 1):
+                self.flow_list.append(flows[i])
+                self.image_list.append((images[i], images[i + 1]))
+            seq_ix += 1
 
 
 def flow_sequence_loss(flow_preds, flow_gt, valid, gamma: float = 0.8,
