@@ -138,3 +138,44 @@ def test_lbfgs_matches_torch_on_image_shaped_objective():
     ref, n = _torch_reference_driver(f_t, x0, max_iter=30)
     got, _ = lbfgs_minimize(f_j, jnp.asarray(x0), num_iters=n)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("seed,n,iters", [(0, 8, 20), (2, 24, 40)])
+def test_compact_equals_two_loop(seed, n, iters):
+    """The compact (Byrd–Nocedal–Schnabel) direction is mathematically the
+    two-loop recursion — same iterates up to f32 reduction order."""
+    rng = np.random.RandomState(seed)
+    A = (rng.randn(n, n) / np.sqrt(n)).astype(np.float32)
+    b = rng.randn(n).astype(np.float32)
+    x0 = rng.randn(n).astype(np.float32)
+    _, f_j = _quartic_pair(A, b)
+
+    x_tl, l_tl = lbfgs_minimize(f_j, jnp.asarray(x0), num_iters=iters)
+    x_cp, l_cp = lbfgs_minimize(f_j, jnp.asarray(x0), num_iters=iters,
+                                impl="compact")
+    np.testing.assert_allclose(np.asarray(l_cp), np.asarray(l_tl),
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(float(f_j(x_cp)), float(f_j(x_tl)),
+                               rtol=1e-4)
+
+
+def test_compact_matches_torch_on_image_objective():
+    rng = np.random.RandomState(3)
+    H = W = 6
+    target = rng.rand(H, W).astype(np.float32)
+    x0 = rng.rand(H, W).astype(np.float32)
+
+    def f_t(x):
+        gram = x @ x.T / W
+        gt = torch.tensor(target) @ torch.tensor(target).T / W
+        return ((gram - gt) ** 2).mean() + 0.1 * ((x - torch.tensor(target)) ** 2).mean()
+
+    def f_j(x):
+        gram = x @ x.T / W
+        gt = jnp.asarray(target) @ jnp.asarray(target).T / W
+        return ((gram - gt) ** 2).mean() + 0.1 * ((x - jnp.asarray(target)) ** 2).mean()
+
+    ref, nev = _torch_reference_driver(f_t, x0, max_iter=30)
+    got, _ = lbfgs_minimize(f_j, jnp.asarray(x0), num_iters=nev,
+                            impl="compact")
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=5e-3, atol=5e-4)

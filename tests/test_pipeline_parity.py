@@ -436,6 +436,9 @@ OB = "methods/optimization-based"
 LB = "methods/learning-based"
 
 
+_IMG_DTYPE = [np.float32]  # OBST parity tests flip this to float64
+
+
 def _install_tv_extras():
     """Stubs the OBST/FastStyle harnesses additionally need: Lambda, Resize,
     ToPILImage, Grayscale (+ skimage io/transform attrs). Resize implements
@@ -464,9 +467,7 @@ def _install_tv_extras():
             if isinstance(pic, PILImage.Image):
                 if (pic.size[1], pic.size[0]) == self.size:
                     return pic
-                arr = np.asarray(pic, dtype=np.float32)
-            else:
-                arr = np.asarray(pic, dtype=np.float32)
+            arr = np.asarray(pic, dtype=_IMG_DTYPE[0])
             t = torch.from_numpy(arr.transpose(2, 0, 1))[None]
             out = F.interpolate(t, size=self.size, mode="bilinear",
                                 align_corners=False)[0]
@@ -492,6 +493,17 @@ def _install_tv_extras():
                 g = np.repeat(g, 3, axis=0)
             return torch.from_numpy(g)
 
+    class ToTensorD:
+        """dtype-switchable ToTensor (the OBST parity tests run BOTH
+        pipelines in float64 — see the f64 rationale on the tests)."""
+
+        def __call__(self, pic):
+            arr = np.asarray(pic, dtype=_IMG_DTYPE[0]) / 255.0
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            return torch.from_numpy(arr.transpose(2, 0, 1).copy())
+
+    tr.ToTensor = ToTensorD
     tr.Lambda = Lambda
     tr.Resize = Resize
     tr.ToPILImage = ToPILImage
@@ -538,7 +550,8 @@ def _fresh_import(module_name, *rel_dirs, patched_source_of=None):
     _install_tv_extras()
     for name in list(sys.modules):
         root = name.split(".")[0]
-        if root in ("flowtools", "obst_eval", "obst_eval_golden", "metrics",
+        if root in ("flowtools", "obst_eval", "obst_eval_living",
+                    "obst_eval_golden", "metrics",
                     "sg2_core", "datasets", "network", "flowlib",
                     "fast_style_transfer", "fs_johnson", "fs_huang",
                     "fs_dumoulin", "fs_reconet", "fs_ruder", "fs_lib"):
@@ -553,15 +566,40 @@ def _fresh_import(module_name, *rel_dirs, patched_source_of=None):
 
     if patched_source_of is None:
         return importlib.import_module(module_name)
-    src_path, needle, replacement = patched_source_of
+    src_path, patches = patched_source_of
     src = open(os.path.join(REF, src_path)).read()
-    assert src.count(needle) == 1, f"needle not unique in {src_path}"
-    src = src.replace(needle, replacement)
+    for needle, replacement in patches:
+        assert src.count(needle) == 1, f"needle not unique in {src_path}"
+        src = src.replace(needle, replacement)
     mod = types.ModuleType(module_name)
     mod.__file__ = os.path.join(REF, src_path)
     sys.modules[module_name] = mod
     exec(compile(src, mod.__file__, "exec"), mod.__dict__)
     return mod
+
+
+@pytest.fixture
+def f64_pipelines(monkeypatch):
+    """Drive BOTH pipelines in float64. Rationale: torch's LBFGS scales its
+    first step by min(1, 1/‖g‖₁) — at OBST's image sizes that step is so
+    small that the first curvature pair y = g₁−g₀ (‖y‖ ≈ 5e−6) sits BELOW
+    the cross-framework f32 gradient noise (maxpool/relu boundary flips,
+    ~1e−3 max): no f32 reimplementation can walk the reference trajectory,
+    by construction. In f64 the noise (~1e−15) is far below the curvature
+    signal and the trajectories coincide. Production stays f32 (f32 vs f64
+    is torch-side-identical in the committed golden era too — the claim
+    under test is harness-math parity, not float-noise parity)."""
+    import jax
+
+    prev = jax.config.read("jax_enable_x64")
+    jax.config.update("jax_enable_x64", True)
+    prev_t = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    _IMG_DTYPE[0] = np.float64
+    yield
+    _IMG_DTYPE[0] = np.float32
+    torch.set_default_dtype(prev_t)
+    jax.config.update("jax_enable_x64", prev)
 
 
 @pytest.fixture
@@ -603,10 +641,19 @@ def no_cuda_to(monkeypatch):
 
 # frames must keep RAFT's coarsest corr level ≥ 2×2: at H/8/2³ == 1 the
 # reference's own bilinear_sampler divides by (W−1)=0 → NaN flow (real
-# Sintel 436×1024 never hits this)
+# Sintel 436×1024 never hits this). Cost knobs for the single-core test
+# box: 2-level pyramid, ONE style (num_domains 4→2) and RAFT iters 20→4 —
+# the latter two are CONFIG constants patched identically into the
+# reference source (the harness math under test is untouched).
 _OBST_HW = (128, 160)
-_OBST_PYR = [(32, 40), (64, 80), (128, 160)]
-_OBST_ITERS = [6, 5, 4]  # → torch closure-call counts (20, 20, 20)
+_OBST_PYR = [(64, 80), (128, 160)]
+_OBST_ITERS = [6, 5]  # → torch closure-call counts (20, 20)
+_OBST_CFG_PATCHES = [
+    ("  num_domains = 4\n  net.batch_size = 1",
+     "  num_domains = 2\n  net.batch_size = 1"),
+    ("def computeRAFT(net, img1, img2, it=20):",
+     "def computeRAFT(net, img1, img2, it=4):"),
+]
 _MASK_ZERO_NEEDLE = (
     "        #pre = img\n        mask_last = torch.zeros((1,) + "
     "img.shape[2:]).to(device).unsqueeze(1)\n")
@@ -659,12 +706,30 @@ def _drive_ref_obst(mod, tmp_path, monkeypatch, raft_args, weight_tcl,
     """Run the reference's own eval_sintel (torch-CPU) and return its JSONs."""
     sd = _seeded_obst_vgg(mod, tmp_path, seed=seed_vgg)
     raft_mod = sys.modules["raft.raft"]
+    # RAFT is an f32 instrument on both sides (the f64 fixture makes torch
+    # construct modules in f64 — cast back)
     traft = _seed_torch_params(raft_mod.RAFT(raft_args), seed=seed_raft)
+    traft = traft.float()
     traft.eval()
-    monkeypatch.setattr(mod, "initRaftModel", lambda args: traft)
+
+    def f32_raft(i1, i2, iters=4, test_mode=True):
+        # RAFT stays an f32 instrument on both sides; flows re-enter the
+        # f64 harness math. torch's RAFT builds grids with default-dtype
+        # factories — pin f32 around the call.
+        prev = torch.get_default_dtype()
+        torch.set_default_dtype(torch.float32)
+        try:
+            lo, up = traft(i1.float(), i2.float(), iters=iters,
+                           test_mode=test_mode)
+        finally:
+            torch.set_default_dtype(prev)
+        return lo, up.double()
+
+    monkeypatch.setattr(mod, "initRaftModel", lambda args: f32_raft)
     monkeypatch.chdir(tmp_path)
 
     net = mod.OBST()
+    net.vgg.double()
     net.max_iters = list(_OBST_ITERS)
     orig_set_shapes = mod.OBST.set_shapes
     monkeypatch.setattr(
@@ -689,22 +754,30 @@ def _drive_vst_obst(sd, traft, style_paths, tmp_path, weight_tcl,
     from vst.models.gatys import OBST
     from vst.perceptual.vgg import caffe_vgg_params_from_torch
 
+    import jax.numpy as jnp
+
     vdir = (tmp_path / "G:" / "Datasets" / "MPI-Sintel-complete"
             / "training" / "final" / "alley_x")
     frames = np.stack([
-        imageio.imread(os.path.join(vdir, f)).astype(np.float32) / 255.0
+        imageio.imread(os.path.join(vdir, f)).astype(np.float64) / 255.0
         for f in sorted(os.listdir(vdir))])
     styles = np.stack([
-        imageio.imread(p).astype(np.float32) / 255.0 for p in style_paths])
+        imageio.imread(p).astype(np.float64) / 255.0 for p in style_paths])
 
-    raft = RAFT(small=False, iters=20)
+    raft = RAFT(small=False, iters=4)  # matches the patched computeRAFT
+
+    def raft_f32(a, b):
+        lo, up = raft.apply(raft_params,
+                            a.astype(jnp.float32), b.astype(jnp.float32))
+        return lo, up.astype(jnp.float64)
+
     raft_params = {"params": raft_params_from_torch(traft.state_dict())}
     obst = OBST(vgg_params=caffe_vgg_params_from_torch(sd),
-                max_iters=tuple(_OBST_ITERS))
+                max_iters=tuple(_OBST_ITERS), compute_dtype=jnp.float64)
     return evaluate_sintel_obst(
         obst, [SintelVideo("alley_x", frames)],
-        lambda a, b: raft.apply(raft_params, a, b),
-        styles, _OBST_PYR, weight_tcl=weight_tcl,
+        raft_f32,
+        styles[:1], _OBST_PYR, weight_tcl=weight_tcl,
         literal_mask_zero=literal_mask_zero)
 
 
@@ -713,9 +786,10 @@ def _assert_tcl_parity(res, ref_st, ref_lt, rel_tol=0.01,
     for out_id, ref_d, got_d in (("TCL-ST", ref_st, res["TCL-ST"]),
                                  ("TCL-LT", ref_lt, res["TCL-LT"])):
         for key, ref_v in ref_d.items():
-            k = key if key in got_d else key.replace("alley_x", "alley_x")
-            assert k in got_d, f"missing {k}"
-            got_v = got_d[k]
+            if "_mean" in key:  # aggregates are derived from the per-keys
+                continue
+            assert key in got_d, f"missing {key}"
+            got_v = got_d[key]
             if expect_zero_st and out_id == "TCL-ST":
                 assert abs(ref_v) < 1e-12, (key, ref_v)
                 assert abs(got_v) < 1e-12, (k, got_v)
@@ -726,12 +800,14 @@ def _assert_tcl_parity(res, ref_st, ref_lt, rel_tol=0.01,
 
 @pytest.mark.slow
 def test_obst_sintel_eval_pipeline_parity_living(tmp_path, monkeypatch,
-                                                 no_cuda_to):
+                                                 no_cuda_to, f64_pipelines):
     """The LIVING obst_eval.eval_sintel (mask_last zeroed before net.run →
     in-closure TCL inert, TCL-ST ≡ 0) vs the vst driver in
     literal_mask_zero mode, on identical converted VGG/RAFT weights."""
     style_paths, raft_args = _obst_fixture(tmp_path)
-    mod = _fresh_import("obst_eval", OB, OB + "/raft")
+    mod = _fresh_import(
+        "obst_eval_living", OB, OB + "/raft",
+        patched_source_of=(OB + "/obst_eval.py", _OBST_CFG_PATCHES))
     ref_st, ref_lt, sd, traft = _drive_ref_obst(
         mod, tmp_path, monkeypatch, raft_args, weight_tcl=2000)
     res = _drive_vst_obst(sd, traft, style_paths, tmp_path,
@@ -741,7 +817,7 @@ def test_obst_sintel_eval_pipeline_parity_living(tmp_path, monkeypatch,
 
 @pytest.mark.slow
 def test_obst_sintel_eval_pipeline_parity_golden(tmp_path, monkeypatch,
-                                                 no_cuda_to):
+                                                 no_cuda_to, f64_pipelines):
     """The committed-golden behavior: the reference source with the single
     leftover debug line (obst_eval.py:510 — unconditional mask_last zeroing,
     which contradicts the repo's own committed nonzero λ-contrast JSONs)
@@ -750,8 +826,8 @@ def test_obst_sintel_eval_pipeline_parity_golden(tmp_path, monkeypatch,
     style_paths, raft_args = _obst_fixture(tmp_path)
     mod = _fresh_import(
         "obst_eval_golden", OB, OB + "/raft",
-        patched_source_of=(OB + "/obst_eval.py", _MASK_ZERO_NEEDLE,
-                           "        #pre = img\n"))
+        patched_source_of=(OB + "/obst_eval.py", _OBST_CFG_PATCHES + [
+            (_MASK_ZERO_NEEDLE, "        #pre = img\n")]))
     ref_st, ref_lt, sd, traft = _drive_ref_obst(
         mod, tmp_path, monkeypatch, raft_args, weight_tcl=2000)
     res = _drive_vst_obst(sd, traft, style_paths, tmp_path,

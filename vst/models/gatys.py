@@ -75,6 +75,12 @@ class OBST:
         # and halve HBM traffic on the ~120 VGG fwd+bwd per frame; the image
         # itself, the LBFGS state and every loss reduction stay f32.
         self.compute_dtype = compute_dtype
+        # accumulation dtype: f32 normally; f64 when the whole pipeline runs
+        # double (the pipeline-parity tests do — torch's tiny first LBFGS
+        # step makes the curvature pair smaller than cross-framework f32
+        # noise, see vst/ops/lbfgs.py docstring)
+        self.acc_dtype = (jnp.float64 if compute_dtype == jnp.float64
+                          else jnp.float32)
         self._vgg_params_c = jax.tree.map(
             lambda p: jnp.asarray(p, compute_dtype), vgg_params)
         self.max_iters = tuple(max_iters)
@@ -112,7 +118,7 @@ class OBST:
         for w, f, g_t in zip(STYLE_WEIGHTS, feats[: len(STYLE_LAYERS)], style_grams):
             loss += w * jnp.mean((gram_matrix(f) - g_t) ** 2)
         for w, f, f_t in zip(CONTENT_WEIGHTS, feats[len(STYLE_LAYERS):], content_feats):
-            loss += w * jnp.mean((f.astype(jnp.float32) - f_t) ** 2)
+            loss += w * jnp.mean((f.astype(self.acc_dtype) - f_t) ** 2)
         loss += weight_tcl * jnp.mean((mask_img * (opt_img - warp_img)) ** 2)
         return loss
 
@@ -132,7 +138,12 @@ class OBST:
             loss_fn = lambda x: self._loss(
                 x, style_grams, content_feats, warp_img, mask_img, weight_tcl
             )
-            return lbfgs_minimize(loss_fn, opt_img, num_iters=iters)
+            # compact direction: mathematically the two-loop recursion but
+            # two MXU matvecs instead of 2·m sequential n-dots — round 2
+            # measured the sequential history dots dominating the whole
+            # OBST frame (NOTES_ROUND2.md "bf16 closures only ~1% faster")
+            return lbfgs_minimize(loss_fn, opt_img, num_iters=iters,
+                                  impl="compact")
 
         self._level_fns[key] = run
         return run
@@ -155,7 +166,7 @@ class OBST:
             mask_targets.append(resize_bilinear(mimg, shape, align_corners=False))
             c = resize_bilinear(img, shape, align_corners=False)
             content_targets.append([
-                jax.lax.stop_gradient(f.astype(jnp.float32))
+                jax.lax.stop_gradient(f.astype(self.acc_dtype))
                 for f in self.vgg.apply(
                     {"params": self._vgg_params_c},
                     c.astype(self.compute_dtype), list(CONTENT_LAYERS))

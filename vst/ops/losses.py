@@ -16,9 +16,10 @@ def gram_matrix(x: jnp.ndarray) -> jnp.ndarray:
     features (B, C, H·W); G = F·Fᵀ / (H·W). x is NHWC → (B, C, C)."""
     B, H, W, C = x.shape
     f = x.reshape(B, H * W, C)
+    acc = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
     g = jnp.einsum(
         "bnc,bnd->bcd", f, f,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc,
         precision=jax.lax.Precision.HIGHEST,
     )
     return g / (H * W)
