@@ -1,0 +1,51 @@
+#!/bin/bash
+# Chains after queue_r4d ($1): regenerate the OBST lambda-contrast Sintel
+# artifacts with the round-4 driver (torch-exact [60,60,40] compact LBFGS,
+# frame-0 zero mask, net.run-only DT timer, RAFT-MS reported separately),
+# 3 videos (VERDICT r3 item 5). Probe-gated; do NOT edit while running.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+LOG=runs/queue_r4e.log
+echo "=== queue_r4e start $(date)" >> $LOG
+
+WPID=${1:?pass queue_r4d pid}
+while kill -0 "$WPID" 2>/dev/null; do
+  sleep 60
+done
+echo "--- queue_r4d ($WPID) drained $(date)" >> $LOG
+
+probe() {
+  timeout 120 python scripts/tpu_probe.py >> runs/tpu_probe.log 2>&1
+}
+
+wait_healthy() {
+  local i
+  for i in $(seq 1 120); do
+    if probe; then
+      echo "--- relay healthy (try $i) $(date)" >> $LOG
+      return 0
+    fi
+    echo "--- relay unhealthy, idling 150s (try $i) $(date)" >> $LOG
+    sleep 150
+  done
+  return 1
+}
+
+run() {
+  local name=$1 tmo=$2; shift 2
+  wait_healthy || { echo "--- $name SKIPPED $(date)" >> $LOG; return; }
+  echo "--- $name start $(date)" >> $LOG
+  timeout "$tmo" "$@" >> runs/$name.stdout 2>&1
+  echo "--- $name exit=$? $(date)" >> $LOG
+  sleep 45
+}
+
+run obst_r4_2000 7200 python -m vst.cli eval-obst \
+  --hw 436 1024 --n-videos 3 --n-frames 8 \
+  --lambda-tcl 2000 --out-dir artifacts/obst
+run obst_r4_0 7200 python -m vst.cli eval-obst \
+  --hw 436 1024 --n-videos 3 --n-frames 8 \
+  --lambda-tcl 0 --out-dir artifacts/obst
+
+echo "=== queue_r4e done $(date)" >> $LOG

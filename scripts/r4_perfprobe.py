@@ -91,6 +91,35 @@ except Exception as e:  # noqa: BLE001
     report["b1_stages_error"] = repr(e)
     save()
 
+print("== raft batch slope ==", flush=True)
+try:
+    from vst.flow.raft import RAFT
+
+    Hr, Wr = 440, 1024
+    rngr = np.random.RandomState(1)
+    raft = RAFT(iters=20, encoder_dtype=jnp.bfloat16, pallas_lookup=True)
+    img1 = jnp.asarray(rngr.rand(1, Hr, Wr, 3).astype(np.float32) * 255)
+    pr = raft.init(jax.random.PRNGKey(0), img1, img1)
+    slope = {}
+    for b in (2, 4, 8):
+        x = jnp.asarray(rngr.rand(b, Hr, Wr, 3).astype(np.float32) * 255)
+
+        def pair(v):
+            _, up = raft.apply(pr, v, v[:, :, ::-1, :])
+            return v * (1.0 + 0.0 * jnp.mean(up).astype(v.dtype))
+
+        ms = chain_ms(pair, x, K=4)
+        # b directions = b/2 flow pairs per program
+        slope[f"b{b}"] = {"ms_total": round(ms, 1),
+                          "ms_per_pair": round(ms / (b / 2), 1)}
+        print(f"  raft b{b}: {ms:.1f} ms total, "
+              f"{ms / (b / 2):.1f} ms/pair", flush=True)
+    report["raft_batch_slope"] = slope
+    save()
+except Exception as e:  # noqa: BLE001
+    report["raft_batch_slope_error"] = repr(e)
+    save()
+
 print("== raft bisect ==", flush=True)
 try:
     sys.argv = ["bisect_raft", "runs/bisect_raft_r4.json"]
