@@ -409,6 +409,33 @@ def _make_raft(args):
     return lambda a, b: raft.apply(params, a, b)
 
 
+def _load_pre_style(args):
+    """Ruder's frame-0 bootstrap model params (fs_ruder.py:25-34): the
+    reference hardcodes a pretrained Johnson run; vst takes
+    --pre-style-ckpt (default runs/johnson). Falls back to seeded init
+    when the checkpoint does not exist (provenance: random bootstrap)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from vst.core import Checkpointer
+    from vst.models.faststyle import FastStyleNet
+
+    ckpt_dir = getattr(args, "pre_style_ckpt", None) or "runs/johnson"
+    pre_net = FastStyleNet(n_styles=args.n_styles)
+    tpl = pre_net.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 64, 64, 3)), 1.0, 0)["params"]
+    if os.path.isdir(ckpt_dir):
+        ck = Checkpointer(ckpt_dir)
+        step = ck.latest_step()
+        if step:
+            return ck.restore(step, params=tpl)["params"]
+    print(f"pre-style ckpt {ckpt_dir} not found — seeded bootstrap",
+          flush=True)
+    return tpl
+
+
 def cmd_eval_sintel(args):
     import jax
     import jax.numpy as jnp
@@ -442,24 +469,41 @@ def cmd_eval_sintel(args):
     from vst.core import Checkpointer
 
     if args.family == "faststyle":
-        cfg = select_method(args.method, n_styles=args.n_styles)
+        n_frames = 3 if args.method == "ruder" else 2
+        cfg = select_method(args.method, n_styles=args.n_styles,
+                            n_frames=n_frames)
         styles = load_style_images(size=64)[:max(args.n_styles, 1)]
-        trainer = FastStyleTrainer(cfg, styles, seed=args.seed)
+        pre_style = _load_pre_style(args) if args.method == "ruder" else None
+        trainer = FastStyleTrainer(cfg, styles, seed=args.seed,
+                                   pre_style_params=pre_style)
         from vst.data.synthetic import synthetic_batch
         import jax.numpy as jnp
 
         sample = {k: jnp.asarray(v) for k, v in
-                  synthetic_batch(1, hw=tuple(args.hw)).items()}
+                  synthetic_batch(1, hw=tuple(args.hw),
+                                  n_frames=n_frames).items()}
         state = trainer.init_state(sample)
         params = state.params
         if args.ckpt_dir:
             ckpt = Checkpointer(args.ckpt_dir)
             params = ckpt.restore(ckpt.latest_step(), params=params)["params"]
-        results = evaluate_sintel_faststyle(
-            trainer, params, videos, raft_apply,
-            styles=list(range(max(args.n_styles, 3))),
-            out_path=args.out_dir, dt_iters=args.dt_iters, flow_fn=flow_fn,
-        )
+        if args.method == "ruder":
+            # streaming protocol: Johnson bootstrap frame 0, 7-ch net with
+            # (mask, warped prev stylized) after (fs_ruder.py:110-121)
+            from vst.eval.drivers import evaluate_sintel_ruder
+
+            results = evaluate_sintel_ruder(
+                trainer, params, trainer.pre_style_params, videos,
+                raft_apply, styles=list(range(max(args.n_styles, 3))),
+                out_path=args.out_dir, dt_iters=args.dt_iters,
+                flow_fn=flow_fn)
+        else:
+            results = evaluate_sintel_faststyle(
+                trainer, params, videos, raft_apply,
+                styles=list(range(max(args.n_styles, 3))),
+                out_path=args.out_dir, dt_iters=args.dt_iters,
+                flow_fn=flow_fn,
+            )
     elif args.family == "stargan":
         # StarGAN v1 Sintel eval (solver.py:639-721): G conditioned on the
         # target-domain one-hot, domains 1..c_dim-1 as styles
@@ -646,10 +690,14 @@ def cmd_eval_fc2(args):
         from vst.train.registry import select_method
         from vst.train.faststyle import FastStyleTrainer
 
+        n_frames = 3 if args.method == "ruder" else 2
         cfg = select_method(args.method, n_styles=max(num_dom - 1, 1),
-                            batch_size=args.batch_size)
+                            batch_size=args.batch_size, n_frames=n_frames)
         styles = load_style_images(None, size=256)[:max(num_dom - 1, 1)]
-        trainer = FastStyleTrainer(cfg, styles, seed=args.seed)
+        args.n_styles = max(num_dom - 1, 1)
+        pre_style = _load_pre_style(args) if args.method == "ruder" else None
+        trainer = FastStyleTrainer(cfg, styles, seed=args.seed,
+                                   pre_style_params=pre_style)
         dummy = {"imgs": jnp.zeros((1, cfg.n_frames) + tuple(args.hw) + (3,)),
                  "masks": jnp.zeros((1, cfg.n_frames - 1) + tuple(args.hw) + (1,)),
                  "flows": jnp.zeros((1, cfg.n_frames - 1) + tuple(args.hw) + (2,))}
@@ -660,6 +708,20 @@ def cmd_eval_fc2(args):
             step = ckpt.latest_step() or 0
             if step:
                 params = ckpt.restore(step, params=state.params)["params"]
+        if args.method == "ruder":
+            # two-frame streaming protocol (fast_style_transfer.py:640-676)
+            # — its own TCL/FID driver, like the OBST FC2 path
+            import os as _os
+
+            from vst.eval.drivers import evaluate_fc2_ruder
+
+            res = evaluate_fc2_ruder(
+                trainer, params, trainer.pre_style_params, batches,
+                num_domains=num_dom, out_dir=args.out_dir)
+            tclm = res["TCL"].get("TCL_mean", float("nan"))
+            fidm = res["FID"].get("FID_mean", float("nan"))
+            print(f"ruder FC2: TCL {tclm:.4f} FID {fidm:.2f}")
+            return
         net = jax.jit(lambda x, sid: trainer.model.apply(
             {"params": params}, x, 1.0, sid)[1])
 
@@ -984,6 +1046,8 @@ def main(argv=None):
     p.add_argument("--family", default="faststyle",
                    choices=["faststyle", "stargan", "stargan2", "cyclegan"])
     p.add_argument("--method", default="johnson")
+    p.add_argument("--pre-style-ckpt", type=str, default="runs/johnson",
+                   help="ruder frame-0 bootstrap run (fs_ruder.py:25-34)")
     p.add_argument("--num-domains", type=int, default=4)
     p.add_argument("--n-styles", type=int, default=3)
     p.add_argument("--sintel-dir", type=str, default=None)

@@ -363,3 +363,210 @@ def evaluate_fc2_obst(
             save_json(d, _os.path.join(out_dir, f"{name}.json"),
                       aggregate=False)
     return {"TCL": tcl_dict, "FID": fid_dict}
+
+
+def evaluate_sintel_ruder(trainer, params, pre_params, videos, raft_apply,
+                          styles=(0, 1, 2), out_path=None, lt_len: int = 5,
+                          dt_iters: int = 20, flow_fn=None,
+                          num_domains=None):
+    """Ruder streaming Sintel eval — the reference protocol
+    (``fast_style_transfer.py:494-556`` with ``fs_ruder.infer_method``
+    :110-121): frame 0 stylizes through the PRETRAINED Johnson bootstrap
+    (3-ch); frame i>0 runs RAFT(img_last, img) fwd+bwd → fbc mask →
+    ``warp_last = warp(clamp(x_fake_last), bf)`` → 7-ch net on
+    ``cat(img, mask, warp_last)``. TCL-ST = RMS(mask·(x_fake − warp_last))
+    — unlike the other heads the warm-start warp is both the net input and
+    the metric target. Frames enter at [−1,1] (the harness Normalize
+    quirk); outputs are clamp(net/255, 0, 1). Stateful across frames, so it
+    lives here rather than in the generic harness (like the OBST driver)."""
+    import os
+    import time as _time
+
+    from vst.core.metrics import save_json
+    from vst.ops.flowtools import fbc_mask
+    from vst.ops.image import InputPadder
+    from vst.ops.sample import warp
+
+    model, pre_model = trainer.model, trainer.pre_model
+
+    @jax.jit
+    def stylize0(img, sid):
+        _, out = pre_model.apply({"params": pre_params}, img, 1.0, sid)
+        return jnp.clip(out / 255.0, 0.0, 1.0)
+
+    @jax.jit
+    def stylize_i(img, mask, warped, sid):
+        x = jnp.concatenate([img, mask, warped], axis=-1)
+        _, out = model.apply({"params": params}, x, 1.0, sid)
+        return jnp.clip(out / 255.0, 0.0, 1.0)
+
+    @jax.jit
+    def flow_and_mask(earlier, current):
+        padder = InputPadder(earlier.shape)
+        i1, i2 = padder.pad(earlier, current)
+        a = jnp.concatenate([i1, i2], axis=0)
+        b = jnp.concatenate([i2, i1], axis=0)
+        _, up = raft_apply(a, b)
+        n = earlier.shape[0]
+        ff, bf = padder.unpad(up[:n]), padder.unpad(up[n:])
+        return ff, bf, fbc_mask(ff, bf)
+
+    @jax.jit
+    def mask_of(ff, bf):
+        return fbc_mask(ff, bf)
+
+    tcl_st, tcl_lt, dt = {}, {}, {}
+    for video in videos:
+        frames01 = jnp.asarray(video.frames)
+        frames = frames01 * 2.0 - 1.0  # eval Normalize(0.5) quirk
+        n = len(video)
+        for d, sid_ in enumerate(styles):
+            sid = jnp.asarray(sid_)
+            key = f"{video.name}_s{d + 1}"
+            st_vals, lt_vals, dt_vals = [], [], []
+            hist = []
+            # warm both programs before timing (tunnel compile lands in
+            # the first DT window otherwise)
+            float(jnp.sum(stylize0(frames[0:1], sid)))
+            z1 = jnp.zeros(frames[0:1].shape[:3] + (1,))
+            float(jnp.sum(stylize_i(frames[0:1], z1, frames01[0:1], sid)))
+            for i in range(n):
+                img = frames[i:i + 1]
+                if i == 0:
+                    t0 = _time.perf_counter()
+                    x_fake = stylize0(img, sid)
+                    float(x_fake.sum())
+                    dt_vals.append((_time.perf_counter() - t0) * 1000)
+                else:
+                    if flow_fn is None:
+                        ff, bf, mask = flow_and_mask(frames[i - 1:i], img)
+                    else:
+                        ff, bf = flow_fn(video, i, i - 1)
+                        ff = jnp.asarray(ff)[None]
+                        bf = jnp.asarray(bf)[None]
+                        mask = mask_of(ff, bf)
+                    warp_last = warp(hist[-1], bf)
+                    # timed region = infer_method only (the reference's
+                    # t_start/t_end, fast_style_transfer.py:513-516)
+                    t0 = _time.perf_counter()
+                    x_fake = stylize_i(img, mask, warp_last, sid)
+                    float(x_fake.sum())
+                    dt_vals.append((_time.perf_counter() - t0) * 1000)
+                    v = jnp.sqrt(jnp.mean((mask * (x_fake - warp_last)) ** 2))
+                    st_vals.append(float(v))
+                if i >= lt_len:
+                    if flow_fn is None:
+                        _, bf5, m5 = flow_and_mask(
+                            frames[i - lt_len:i - lt_len + 1], img)
+                    else:
+                        ff5, bf5 = flow_fn(video, i, i - lt_len)
+                        ff5 = jnp.asarray(ff5)[None]
+                        bf5 = jnp.asarray(bf5)[None]
+                        m5 = mask_of(ff5, bf5)
+                    w5 = warp(hist[0], bf5)
+                    v = jnp.sqrt(jnp.mean((m5 * (x_fake - w5)) ** 2))
+                    lt_vals.append(float(v))
+                    hist.pop(0)
+                hist.append(x_fake)
+            tcl_st[f"TCL-ST_{key}"] = float(np.mean(st_vals)) if st_vals else 0.0
+            tcl_lt[f"TCL-LT_{key}"] = float(np.mean(lt_vals)) if lt_vals else 0.0
+            dt[f"DT_{key}"] = float(np.mean(dt_vals))
+
+    from vst.core.metrics import aggregate_means
+
+    nd = (num_domains or len(styles) + 1) - 1
+    results = {}
+    for out_id, data in (("TCL-ST", tcl_st), ("TCL-LT", tcl_lt), ("DT", dt)):
+        agg = aggregate_means(dict(data), num_styles=nd)
+        agg[f"{out_id}_mean"] = agg.pop("_mean")
+        for dd in range(1, nd + 1):
+            if f"_mean_s{dd}" in agg:
+                agg[f"{out_id}_mean_s{dd}"] = agg.pop(f"_mean_s{dd}")
+        results[out_id] = agg
+        if out_path:
+            save_json(agg, os.path.join(out_path, out_id + ".json"),
+                      aggregate=False)
+    return results
+
+
+def evaluate_fc2_ruder(trainer, params, pre_params, eval_batches,
+                       num_domains: int = 4, out_dir=None, inception=None):
+    """Ruder FC2 eval — the reference protocol
+    (``fast_style_transfer.py:640-676`` evaluate_fc2 with the ruder models
+    list): per (y_org, y_trg ≠ y_org, y_trg ≠ 0) sample,
+    ``x_fake = pre_style(x_real)``, ``x_warp = warp(x_fake, flow)``,
+    ``x_fake2 = net(cat(x_real2, mask, x_warp))``, per-sample
+    TCL = RMS(mask·(x_fake2 − x_warp)) (NO clamps — the reference's are
+    commented out, :661-664); FID between denormalized refs and the saved
+    x_fake frames per task. Batches follow vst.data.fc2.BATCH_KEYS in
+    [−1,1] like the loaders."""
+    import os as _os
+    from collections import OrderedDict
+
+    from vst.core.metrics import save_json
+    from vst.metrics.fid import InceptionV3, fid_from_activations
+    from vst.ops.sample import warp
+
+    inception = inception or InceptionV3(seed=0)
+    model, pre_model = trainer.model, trainer.pre_model
+
+    @jax.jit
+    def fake1(x, sid):
+        _, out = pre_model.apply({"params": pre_params}, x, 1.0, sid)
+        return out / 255.0
+
+    @jax.jit
+    def fake2(x, mask, warped, sid):
+        z = jnp.concatenate([x, mask, warped], axis=-1)
+        _, out = model.apply({"params": params}, z, 1.0, sid)
+        return out / 255.0
+
+    tasks = ([f"style02style{d}" for d in range(1, num_domains)]
+             + [f"style{d}2style0" for d in range(1, num_domains)])
+    tcl_vals = {t: [] for t in tasks}
+    fakes = {t: [] for t in tasks}
+    refs = {t: [] for t in tasks}
+
+    for batch in eval_batches:
+        x1 = jnp.asarray(batch["x_src"])
+        x2 = jnp.asarray(batch["x2_src"])
+        y_org = np.asarray(batch["y_src"])
+        y_trg = np.asarray(batch["y_ref"])
+        mask = jnp.asarray(batch["mask"])
+        flow = jnp.asarray(batch["flow"])
+        x_ref = np.asarray(batch["x_ref"])
+        for k in range(x1.shape[0]):
+            if y_org[k] == y_trg[k] or y_trg[k] == 0:
+                continue
+            task = f"style{y_org[k]}2style{y_trg[k]}"
+            if task not in tcl_vals:
+                continue
+            sid = jnp.asarray(int(y_trg[k]) - 1)
+            xf = fake1(x1[k:k + 1], sid)
+            xw = warp(xf, flow[k:k + 1])
+            m = mask[k:k + 1]
+            xf2 = fake2(x2[k:k + 1], m, xw, sid)
+            tcl_vals[task].append(
+                float(jnp.sqrt(jnp.mean((m * (xf2 - xw)) ** 2))))
+            fakes[task].append(np.clip(np.asarray(xf)[0], 0.0, 1.0))
+            refs[task].append(np.clip((x_ref[k] + 1.0) / 2.0, 0.0, 1.0))
+
+    tcl_dict, fid_dict = OrderedDict(), OrderedDict()
+    for task in tasks:
+        if not fakes[task]:
+            continue
+        tcl_dict[f"TCL_{task}"] = float(np.mean(tcl_vals[task]))
+        ra = inception(jnp.asarray(np.stack(refs[task])))
+        fa = inception(jnp.asarray(np.stack(fakes[task])))
+        fid_dict[f"FID_{task}"] = fid_from_activations(ra, fa)
+    for d, name in ((tcl_dict, "TCL"), (fid_dict, "FID")):
+        if d:
+            d[f"{name}_mean"] = float(np.mean(
+                [v for k, v in d.items() if not k.endswith("_mean")]))
+            if name == "FID":
+                d["FID_backbone"] = getattr(inception, "backbone",
+                                            "random-he")
+        if out_dir:
+            save_json(d, _os.path.join(out_dir, f"{name}.json"),
+                      aggregate=False)
+    return {"TCL": tcl_dict, "FID": fid_dict}
