@@ -41,6 +41,16 @@ run() {
   sleep 45
 }
 
+# quick wins first: ruder evals with the streaming drivers (the generic
+# path raised ScopeParamShapeError — commit 86f630e)
+run eval_ruder_r4 4200 python -m vst.cli eval-sintel --method ruder \
+  --n-styles 3 --ckpt-dir runs/ruder_r4 --pre-style-ckpt runs/johnson \
+  --hw 436 1024 --out-dir artifacts/ruder/eval_sintel
+run fc2_ruder_r4 4200 python -m vst.cli eval-fc2 --family faststyle \
+  --method ruder --ckpt-dir runs/ruder_r4 --pre-style-ckpt runs/johnson \
+  --hw 256 256 --batch-size 8 --data-dir /root/corpus \
+  --out-dir artifacts/ruder/eval_fc2
+
 run obst_r4_2000 7200 python -m vst.cli eval-obst \
   --hw 436 1024 --n-videos 3 --n-frames 8 \
   --lambda-tcl 2000 --out-dir artifacts/obst
