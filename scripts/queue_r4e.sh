@@ -41,6 +41,20 @@ run() {
   sleep 45
 }
 
+# stargan1 retrain at the cache-native 256 (the hw-128 recipe from the
+# never-run r3f queue crashes: D cls head (16,3,3,4) vs (16,4) — the
+# device cache yields 256^2 samples) + its Sintel/FC2 evals
+run train_stargan1 4200 python -m vst.cli train-stargan \
+  --num-domains 4 --data-dir /root/corpus --device-cache 1000 \
+  --steps 2000 --batch-size 8 --hw 256 256 \
+  --out-dir runs/stargan1 --log-every 50
+run eval_sg1 4200 python -m vst.cli eval-sintel --family stargan \
+  --ckpt-dir runs/stargan1 --hw 436 1024 \
+  --out-dir artifacts/stargan1/eval_sintel
+run fc2_sg1 4200 python -m vst.cli eval-fc2 --family stargan \
+  --ckpt-dir runs/stargan1 --hw 256 256 --batch-size 8 \
+  --data-dir /root/corpus --out-dir artifacts/stargan1/eval_fc2
+
 # quick wins first: ruder evals with the streaming drivers (the generic
 # path raised ScopeParamShapeError — commit 86f630e)
 run eval_ruder_r4 4200 python -m vst.cli eval-sintel --method ruder \
