@@ -108,9 +108,10 @@ class OBST:
     # -- objective -----------------------------------------------------------
 
     def _loss(self, opt_img, style_grams, content_feats, warp_img, mask_img,
-              weight_tcl):
+              weight_tcl, vgg_params=None):
         feats = self.vgg.apply(
-            {"params": self._vgg_params_c},
+            {"params": self._vgg_params_c if vgg_params is None
+             else vgg_params},
             opt_img.astype(self.compute_dtype),
             list(STYLE_LAYERS) + list(CONTENT_LAYERS),
         )
@@ -133,17 +134,27 @@ class OBST:
         from vst.ops.lbfgs import lbfgs_minimize
 
         @jax.jit
-        def run(opt_img, style_grams, content_feats, warp_img, mask_img,
-                weight_tcl):
+        def run_p(vgg_params, opt_img, style_grams, content_feats, warp_img,
+                  mask_img, weight_tcl):
+            # vgg params enter as an ARGUMENT, not a closure constant:
+            # closed-over weights become jit constants that XLA
+            # constant-folds (e.g. reversing every (3,3,512,512) kernel for
+            # the transpose conv at compile time — minutes of compile and a
+            # bloated program, pathological at f64 in the parity tests)
             loss_fn = lambda x: self._loss(
-                x, style_grams, content_feats, warp_img, mask_img, weight_tcl
-            )
+                x, style_grams, content_feats, warp_img, mask_img,
+                weight_tcl, vgg_params=vgg_params)
             # compact direction: mathematically the two-loop recursion but
             # two MXU matvecs instead of 2·m sequential n-dots — round 2
             # measured the sequential history dots dominating the whole
             # OBST frame (NOTES_ROUND2.md "bf16 closures only ~1% faster")
             return lbfgs_minimize(loss_fn, opt_img, num_iters=iters,
                                   impl="compact")
+
+        def run(opt_img, style_grams, content_feats, warp_img, mask_img,
+                weight_tcl):
+            return run_p(self._vgg_params_c, opt_img, style_grams,
+                         content_feats, warp_img, mask_img, weight_tcl)
 
         self._level_fns[key] = run
         return run
