@@ -41,6 +41,12 @@ run() {
   sleep 45
 }
 
+# SG2 Sintel eval retry (the 436-row synthetic video broke the /16 G;
+# the CLI now crops to 432 like the reference, commit pending)
+run eval_sg2_r4 4200 python -m vst.cli eval-sintel --family stargan2 \
+  --ckpt-dir runs/stargan2_advcon --hw 436 1024 \
+  --out-dir artifacts/stargan2_advcon/eval_sintel
+
 # stargan1 retrain at the cache-native 256 (the hw-128 recipe from the
 # never-run r3f queue crashes: D cls head (16,3,3,4) vs (16,4) — the
 # device cache yields 256^2 samples) + its Sintel/FC2 evals

@@ -447,6 +447,12 @@ def cmd_eval_sintel(args):
     from vst.train.faststyle import FastStyleTrainer
     from vst.data.styles import load_style_images
 
+    # the SG2 generator's encoder/decoder needs /16 dims — the reference
+    # crops Sintel frames to 432 rows for the same reason
+    # (sintel_eval.py:82-88); mirror that on the synthetic video
+    if args.family == "stargan2":
+        args.hw = [args.hw[0] // 16 * 16, args.hw[1] // 16 * 16]
+
     flow_fn = None
     if args.sintel_dir:
         videos = load_sintel_videos(args.sintel_dir)
