@@ -1114,6 +1114,8 @@ def main(argv=None):
                    help="fakes per eval sample (reference uses 10)")
     p.add_argument("--lambda-tcl", type=float, default=0.0)
     p.add_argument("--ckpt-dir", type=str, default=None)
+    p.add_argument("--pre-style-ckpt", type=str, default="runs/johnson",
+                   help="Ruder frame-0 bootstrap (fs_ruder.py:25-34)")
     p.add_argument("--split", type=float, default=0.97)
     p.set_defaults(fn=cmd_eval_fc2)
 

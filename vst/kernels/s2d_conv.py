@@ -78,29 +78,10 @@ def s2d_conv2d(x: jnp.ndarray, w: jnp.ndarray, f: int = 4) -> jnp.ndarray:
 
     import os
 
-    if (B == 1 and Wp2 % f == 0
-            and os.environ.get("VST_PALLAS_RELAYOUT") == "1"):
-        # batch-1 inference: the s2d/d2s layout passes run as Pallas
-        # register relayouts (XLA lowers them as HBM gathers costing
-        # ~0.8 ms each at the stem/head shapes — scripts/bisect_stages.py).
-        # OPT-IN: the register reshape/transpose hits Mosaic
-        # "infer-vector-layout: unsupported shape cast" on real v5e
-        # (compiles only in CPU interpret mode), so the default stays the
-        # XLA reshape∘transpose relayout below.
-        from vst.kernels.pallas_conv import pallas_d2s, pallas_s2d
-
-        xs = pallas_s2d(xp, f)
-        w2 = _s2d_weights(w, f)
-        y = jax.lax.conv_general_dilated(
-            xs, w2, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        y = pallas_d2s(y, f, Co)
-        return y[:, :Ho, :Wo, :]
-
     if os.environ.get("VST_S2D_VIA_CONV") == "1":
         # layout passes as identity convs (MXU, bandwidth-bound) instead
         # of XLA's reshape∘transpose HBM gathers — opt-in pending a TPU
-        # A/B (scripts/probe2.py)
+        # A/B (scripts/probe_pallas_tpu.py measures both)
         from vst.kernels.layout import d2s_via_conv, s2d_via_conv
 
         xs = s2d_via_conv(xp, f)

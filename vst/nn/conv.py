@@ -66,14 +66,6 @@ class ConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if (self.stride == 1 and self.kernel_size == 3 and self.use_bias):
-            from vst.kernels.pallas_conv import res_chain_wants_pallas
-
-            if res_chain_wants_pallas(
-                    x, jnp.zeros((3, 3, x.shape[-1], self.features))):
-                # b1-inference residual-trunk shape: fused pad+conv
-                # (param tree matches TorchConv — checkpoints interchange)
-                return _PallasConv3(self.features, name="TorchConv_0")(x)
         pad = self.kernel_size // 2
         x = reflect_pad(x, pad)
         if self.fast_s2d and self.stride == 1 and self.kernel_size >= 7:
@@ -125,34 +117,6 @@ class _S2DConv(nn.Module):
                 return y
 
         return _Inner(self.features, name="Conv_0")(x)
-
-
-class _PallasConv3(nn.Module):
-    """Param-compatible with TorchConv (nested Conv_0 scope holding
-    kernel/bias) but computing reflect-pad+conv3×3 through the fused
-    Pallas kernel (pad built in VMEM — vst.kernels.pallas_conv)."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, x):
-        from vst.kernels.pallas_conv import conv3x3_reflect
-
-        cin = x.shape[-1]
-        fan_in = 9 * cin
-        features = self.features
-
-        class _Inner(nn.Module):
-            @nn.compact
-            def __call__(inner_self, v):
-                kernel = inner_self.param(
-                    "kernel", conv_kernel_torch_default,
-                    (3, 3, cin, features))
-                bias = inner_self.param(
-                    "bias", conv_bias_torch_default(fan_in), (features,))
-                return conv3x3_reflect(v, kernel, bias)
-
-        return _Inner(name="Conv_0")(x)
 
 
 class UpsampleConvLayer(nn.Module):
@@ -209,13 +173,6 @@ class _SubpixelUpConv(nn.Module):
                     "kernel", conv_kernel_torch_default, (3, 3, cin, features))
                 bias = inner_self.param(
                     "bias", conv_bias_torch_default(fan_in), (features,))
-                from vst.kernels.pallas_conv import (
-                    up2_conv_subpixel_pallas, up2_wants_pallas)
-
-                if up2_wants_pallas(x, features):
-                    # fused coarse conv + in-VMEM d2s (the separate XLA
-                    # d2s pass costs 0.8 ms at the dec2 shape)
-                    return up2_conv_subpixel_pallas(x, kernel, bias)
                 return up2_conv_subpixel(x, kernel) + bias
 
         return _Inner(name="Conv_0")(x)
