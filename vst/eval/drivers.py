@@ -185,7 +185,11 @@ def evaluate_sintel_obst(obst, videos, raft_apply, style_images,
         padder = InputPadder(i1.shape)
         a, b = padder.pad(i1, i2)
         _, up = raft_apply(a, b)
-        up.block_until_ready()
+        # scalar fetch, not block_until_ready: on the tunneled platform
+        # block_until_ready returns before remote execution finishes
+        # (bench.py methodology note), which both under-reports RAFT-MS
+        # and lets RAFT work leak into the next timed region
+        float(up.sum())
         raft_ms_acc.append((_time.perf_counter() - t0) * 1000)
         return padder.unpad(up)
 
@@ -228,6 +232,12 @@ def evaluate_sintel_obst(obst, videos, raft_apply, style_images,
                     mask = fbc_mask(ff, bf, use_occlusion=False)
                     pre = obst.warm_start(prev_styled, img, bf, mask)
                 run_mask = jnp.zeros_like(mask) if literal_mask_zero else mask
+                # drain the async dispatch queue (warm start, mask) with
+                # scalar fetches so the DT window below times net.run
+                # alone — the r3 committed DT (5.0 s vs NOTES' 2.9 s)
+                # was inflated by exactly this leak
+                float(pre.sum())
+                float(run_mask.sum())
                 t0 = _time.perf_counter()
                 # timed region = net.run only, matching the reference's
                 # t_start/t_end around it (obst_eval.py:524-531); RAFT and
@@ -446,6 +456,13 @@ def evaluate_sintel_ruder(trainer, params, pre_params, videos, raft_apply,
                         bf = jnp.asarray(bf)[None]
                         mask = mask_of(ff, bf)
                     warp_last = warp(hist[-1], bf)
+                    # drain the async queue (RAFT flow, fbc mask, warp)
+                    # with scalar fetches — on the tunneled platform the
+                    # pending work otherwise lands inside the DT window
+                    # (this is what made the first committed ruder DT
+                    # read 313 ms against a ~7 ms net forward)
+                    float(warp_last.sum())
+                    float(mask.sum())
                     # timed region = infer_method only (the reference's
                     # t_start/t_end, fast_style_transfer.py:513-516)
                     t0 = _time.perf_counter()
