@@ -975,6 +975,30 @@ def cmd_bench_raft(args):
         results[f"pair_ms_{name}"] = round(best * 1000.0, 2)
         print(f"{name}: {best * 1000:.1f} ms/pair (fwd+bwd batched)")
 
+        # direction-batch slope (VERDICT r3 item 4): the Sintel harness
+        # needs 2 flow pairs per frame (ST prev↔cur + LT i−5↔i) = 4
+        # directions; if the update loop is latency- rather than
+        # FLOP-bound, batching pairs through ONE program divides the
+        # per-pair cost. Measured per multiplier; the eval harness
+        # consumes the winning batch via compute_raft_multi.
+        for mult in (2, 4):
+            am = jnp.concatenate([a] * mult, axis=0)
+            bm = jnp.concatenate([b] * mult, axis=0)
+            upm = pair(am, bm)
+            float(jnp.sum(upm))
+            bestm = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                x = (am, bm)
+                for _i in range(args.iters):
+                    upm = pair(x[0] + 0.0 * jnp.mean(upm), x[1])
+                float(jnp.sum(upm))
+                bestm = min(bestm, (time.perf_counter() - t0) / args.iters)
+            results[f"pair_ms_{name}_x{mult}"] = round(
+                bestm * 1000.0 / mult, 2)
+            print(f"{name} x{mult}: {bestm * 1000 / mult:.1f} ms/pair "
+                  f"({mult} pairs per program)")
+
     epe = np.sqrt(((flows["bf16_enc"] - flows["f32"]) ** 2).sum(-1))
     mag = np.sqrt((flows["f32"] ** 2).sum(-1)) + 1e-6
     results["bf16_vs_f32_epe_mean"] = float(epe.mean())
