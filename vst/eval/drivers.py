@@ -544,7 +544,12 @@ def evaluate_fc2_ruder(trainer, params, pre_params, eval_batches,
     fakes = {t: [] for t in tasks}
     refs = {t: [] for t in tasks}
 
-    for batch in eval_batches:
+    # Per-sample results stay ON DEVICE until one fetch at the end: the
+    # tunneled relay charges a full round trip per host sync, and the r4
+    # run of this driver (one float() + one image fetch per sample) ground
+    # against a degrading relay until its 2400 s timeout (runs/queue_r4g.log
+    # fc2_ruder exit=124). Dispatch is async; only the final stack syncs.
+    for bi, batch in enumerate(eval_batches):
         x1 = jnp.asarray(batch["x_src"])
         x2 = jnp.asarray(batch["x2_src"])
         y_org = np.asarray(batch["y_src"])
@@ -563,19 +568,22 @@ def evaluate_fc2_ruder(trainer, params, pre_params, eval_batches,
             xw = warp(xf, flow[k:k + 1])
             m = mask[k:k + 1]
             xf2 = fake2(x2[k:k + 1], m, xw, sid)
-            tcl_vals[task].append(
-                float(jnp.sqrt(jnp.mean((m * (xf2 - xw)) ** 2))))
-            fakes[task].append(np.clip(np.asarray(xf)[0], 0.0, 1.0))
+            tcl_vals[task].append(jnp.sqrt(jnp.mean((m * (xf2 - xw)) ** 2)))
+            fakes[task].append(jnp.clip(xf[0], 0.0, 1.0))
             refs[task].append(np.clip((x_ref[k] + 1.0) / 2.0, 0.0, 1.0))
+        print(f"fc2_ruder: batch {bi + 1}/{len(eval_batches)} dispatched",
+              flush=True)
 
     tcl_dict, fid_dict = OrderedDict(), OrderedDict()
     for task in tasks:
         if not fakes[task]:
             continue
-        tcl_dict[f"TCL_{task}"] = float(np.mean(tcl_vals[task]))
+        tcl_dict[f"TCL_{task}"] = float(np.mean(np.asarray(
+            jnp.stack(tcl_vals[task]))))
         ra = inception(jnp.asarray(np.stack(refs[task])))
-        fa = inception(jnp.asarray(np.stack(fakes[task])))
+        fa = inception(jnp.stack(fakes[task]))
         fid_dict[f"FID_{task}"] = fid_from_activations(ra, fa)
+        print(f"fc2_ruder: {task} TCL/FID done", flush=True)
     for d, name in ((tcl_dict, "TCL"), (fid_dict, "FID")):
         if d:
             d[f"{name}_mean"] = float(np.mean(
