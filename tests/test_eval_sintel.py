@@ -66,7 +66,7 @@ def test_tcl_zero_for_identity_generator_and_exact_flow():
         f = jnp.asarray(gt["fwd"])
         return None, jnp.broadcast_to(f, (i1.shape[0],) + f.shape[1:])
 
-    tcl_prog, _, _ = make_tcl_program(stylize, raft_apply)
+    tcl_prog, _, _, _ = make_tcl_program(stylize, raft_apply)
 
     # zero-motion pair: frame vs itself → flow 0 → warp ≈ identity-quirk
     gt["fwd"] = np.zeros((1, 64, 96, 2), np.float32)
@@ -77,6 +77,33 @@ def test_tcl_zero_for_identity_generator_and_exact_flow():
     gt["fwd"] = flows[0:1]
     _, v2 = tcl_prog(jnp.asarray(frames[1:2]), jnp.asarray(frames[0:1]), 0)
     assert np.isfinite(float(v2))
+
+
+def test_tcl2_matches_two_tcl_calls():
+    """The fused ST+LT program (one RAFT call at batch 4, shared stylize
+    of the current frame) must reproduce two separate tcl calls — every
+    RAFT op is per-sample, so direction batching cannot change values."""
+    frames, _, _ = _synthetic_video(n_frames=7, hw=(48, 64))
+
+    raft = RAFT(small=False, iters=2)
+    img = jnp.zeros((1, 48, 64, 3))
+    raft_params = raft.init(jax.random.PRNGKey(0), img, img)
+
+    def raft_apply(i1, i2):
+        return raft.apply(raft_params, i1, i2)
+
+    def stylize(img, style):
+        return jnp.clip(img * (1.0 + 0.1 * style), 0.0, 1.0)
+
+    tcl_prog, _, _, tcl2_prog = make_tcl_program(stylize, raft_apply)
+    cur = jnp.asarray(frames[6:7])
+    st_e = jnp.asarray(frames[5:6])
+    lt_e = jnp.asarray(frames[1:2])
+    _, st_ref = tcl_prog(cur, st_e, 1.0)
+    _, lt_ref = tcl_prog(cur, lt_e, 1.0)
+    _, st_v, lt_v = tcl2_prog(cur, st_e, lt_e, 1.0)
+    np.testing.assert_allclose(float(st_v), float(st_ref), rtol=1e-4)
+    np.testing.assert_allclose(float(lt_v), float(lt_ref), rtol=1e-4)
 
 
 def test_reference_aggregation_naming():

@@ -979,8 +979,10 @@ def cmd_bench_raft(args):
         # needs 2 flow pairs per frame (ST prev↔cur + LT i−5↔i) = 4
         # directions; if the update loop is latency- rather than
         # FLOP-bound, batching pairs through ONE program divides the
-        # per-pair cost. Measured per multiplier; the eval harness
-        # consumes the winning batch via compute_raft_multi.
+        # per-pair cost. The eval harness consumes the x2 row via
+        # vst/eval/sintel.py compute_raft_multi (the fused tcl2 program
+        # runs both pairs in one RAFT call at batch 4); x4 is the slope
+        # evidence for batching across frames.
         for mult in (2, 4):
             am = jnp.concatenate([a] * mult, axis=0)
             bm = jnp.concatenate([b] * mult, axis=0)

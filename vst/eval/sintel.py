@@ -92,18 +92,35 @@ def make_tcl_program(
     """
     prep = raft_preprocess or (lambda x: x)
 
+    def compute_raft_multi(imgs_a, imgs_b):
+        """K flow pairs — forward AND backward each — in ONE batched RAFT
+        call (batch 2K). The update loop is latency- rather than FLOP-bound
+        at small batch (artifacts/raft/raft_timing.json slope rows), so
+        stacking pairs through one program divides the per-pair cost;
+        per-direction results are identical to separate calls (every RAFT
+        op is per-sample: convs, instance norm, GRU, corr lookup)."""
+        padder = InputPadder(imgs_a[0].shape)
+        padded = [padder.pad(prep(a), prep(b))
+                  for a, b in zip(imgs_a, imgs_b)]
+        a = jnp.concatenate([p[0] for p in padded]
+                            + [p[1] for p in padded], axis=0)
+        b = jnp.concatenate([p[1] for p in padded]
+                            + [p[0] for p in padded], axis=0)
+        _, flow_up = raft_apply(a, b)
+        n = imgs_a[0].shape[0]
+        k = len(imgs_a)
+        # rows [0, K): forward flows a_i→b_i; rows [K, 2K): backward
+        fwd = [padder.unpad(flow_up[i * n:(i + 1) * n]) for i in range(k)]
+        bwd = [padder.unpad(flow_up[(k + i) * n:(k + i + 1) * n])
+               for i in range(k)]
+        return fwd, bwd
+
     def compute_raft_pair(img1, img2):
         """Forward AND backward flow in ONE batched RAFT call — doubles the
         tiny 1/8-res M-dim (RAFT's convs are latency-bound at batch 1 on
         TPU) and halves dispatches; bit-identical per-direction results."""
-        padder = InputPadder(img1.shape)
-        i1, i2 = padder.pad(prep(img1), prep(img2))
-        a = jnp.concatenate([i1, i2], axis=0)
-        b = jnp.concatenate([i2, i1], axis=0)
-        _, flow_up = raft_apply(a, b)
-        n = img1.shape[0]
-        # first half: RAFT(img1→img2); second half: RAFT(img2→img1)
-        return padder.unpad(flow_up[:n]), padder.unpad(flow_up[n:])
+        fwd, bwd = compute_raft_multi([img1], [img2])
+        return fwd[0], bwd[0]
 
     def tcl(img, img2, style):
         """computeTCL parity (sintel_eval.py:104-110): img = current frame,
@@ -125,10 +142,24 @@ def make_tcl_program(
         val = jnp.sqrt(jnp.mean((mask * (x_fake - warped)) ** 2))
         return x_fake, val
 
+    def tcl2(img, img_st, img_lt, style):
+        """ST and LT TCL for one frame in ONE fused program: the current
+        frame is stylized once (both metrics share x_fake) and the two flow
+        pairs ride one RAFT call at batch 4 via compute_raft_multi — same
+        math as two ``tcl`` calls, ~2× fewer RAFT invocations per frame."""
+        x_fake = stylize_fn(img, style)
+        fwd, bwd = compute_raft_multi([img_st, img_lt], [img, img])
+        vals = []
+        for ff, bf, earlier in zip(fwd, bwd, (img_st, img_lt)):
+            mask = fbc_mask(ff, bf)
+            warped = warp(stylize_fn(earlier, style), bf)
+            vals.append(jnp.sqrt(jnp.mean((mask * (x_fake - warped)) ** 2)))
+        return x_fake, vals[0], vals[1]
+
     def stylize(img, style):
         return stylize_fn(img, style)
 
-    return jax.jit(tcl), jax.jit(stylize), jax.jit(tcl_gt)
+    return jax.jit(tcl), jax.jit(stylize), jax.jit(tcl_gt), jax.jit(tcl2)
 
 
 def evaluate_videos(
@@ -158,7 +189,7 @@ def evaluate_videos(
     ``out_path`` given.
     """
     ft = frame_transform or (lambda x: x)
-    tcl_prog, stylize_prog, tcl_gt_prog = make_tcl_program(
+    tcl_prog, stylize_prog, tcl_gt_prog, tcl2_prog = make_tcl_program(
         stylize_fn, raft_apply, raft_preprocess=raft_preprocess
     )
 
@@ -198,7 +229,7 @@ def evaluate_videos(
                     video, frames, n, d, style, stylize_prog, tcl_prog,
                     lt_len, dt_iters, save_frames, out_path,
                     tcl_gt_prog=tcl_gt_prog, flow_fn=flow_fn,
-                    save_transform=save_transform)
+                    save_transform=save_transform, tcl2_prog=tcl2_prog)
                 key = f"{video.name}_s{d + 1}"
                 tcl_st[f"TCL-ST_{key}"], tcl_lt[f"TCL-LT_{key}"], dt[f"DT_{key}"] = results_for
     nd = (num_domains or len(styles) + 1) - 1
@@ -220,7 +251,8 @@ def evaluate_videos(
 
 def _eval_one(video, frames, n, d, style, stylize_prog, tcl_prog,
               lt_len, dt_iters, save_frames, out_path,
-              tcl_gt_prog=None, flow_fn=None, save_transform=None):
+              tcl_gt_prog=None, flow_fn=None, save_transform=None,
+              tcl2_prog=None):
     """One (video, style) pass: DT chained timing + per-frame ST/LT TCL.
     Phases carry profiler annotations (vst.core.trace) so a
     VST_PROFILE_DIR trace shows DT vs TCL device time separately."""
@@ -258,10 +290,19 @@ def _eval_one(video, frames, n, d, style, stylize_prog, tcl_prog,
     with annotate(f"TCL/{key}"):
         for i in range(n):
             img = frames[i:i + 1]
-            if i > 0:
-                st_vals.append(float(tcl_pair(img, i - 1, i)))
-            if i >= lt_len:
-                lt_vals.append(float(tcl_pair(img, i - lt_len, i)))
+            if (i >= lt_len and flow_fn is None and tcl2_prog is not None):
+                # both metrics in one program (RAFT at batch 4, shared
+                # stylize of the current frame)
+                _, st_v, lt_v = tcl2_prog(
+                    img, frames[i - 1:i], frames[i - lt_len:i - lt_len + 1],
+                    style)
+                st_vals.append(float(st_v))
+                lt_vals.append(float(lt_v))
+            else:
+                if i > 0:
+                    st_vals.append(float(tcl_pair(img, i - 1, i)))
+                if i >= lt_len:
+                    lt_vals.append(float(tcl_pair(img, i - lt_len, i)))
             if save_frames and out_path:
                 x_fake = np.asarray(stylize_prog(img, style))[0]
                 if save_transform is not None:
