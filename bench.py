@@ -107,11 +107,15 @@ def main():
     model = FastStyleNet(n_styles=3)
 
     # The layout-propagated ("fast") and fused-Pallas ("b1") alternate
-    # forwards were deleted in round 4 (kill-or-fix, VERDICT r3 item 2):
-    # BENCH_r03 measured every one of them losing to the natural path
-    # (f32_b1_fast 17.7 ms vs 8.0; bf16_b1_pallas 7.3 vs 6.6). The natural
-    # forward already routes through the two surviving exact rewrites
-    # (s2d 9×9 stem, subpixel up2 decoder — vst/nn/conv.py).
+    # forwards were deleted in round 4 (kill-or-fix, VERDICT r3 item 2).
+    # That was a B1-LATENCY verdict: BENCH_r03 measured them losing at
+    # batch 1 (f32_b1_fast 17.7 ms vs 8.0; bf16_b1_pallas 7.3 vs 6.6) —
+    # the production eval path is b1 — but the fast path WON at batch
+    # (bf16_b64_fast 4.45 vs natural bf16_b32 5.48), so the b64/b128
+    # natural configs below exist to measure what the natural path's peak
+    # throughput actually is post-deletion. The natural forward routes
+    # through the two surviving exact rewrites (s2d 9×9 stem, subpixel
+    # up2 decoder — vst/nn/conv.py).
     configs = [
         ("f32_b1", jnp.float32, 1, "natural"),
         ("bf16_b1", jnp.bfloat16, 1, "natural"),

@@ -744,7 +744,10 @@ def cmd_eval_fc2(args):
     results = calculate_metrics(
         style_fn, batches, num_domains=num_dom, mode=args.mode,
         num_outs_per_domain=args.num_outs, step=step,
-        out_dir=args.out_dir, rng_seed=args.seed)
+        out_dir=args.out_dir, rng_seed=args.seed,
+        # StarGAN v1 (and the per-style faststyle heads) ignore the rng —
+        # within-chunk LPIPS diversity is degenerate-by-construction
+        deterministic=args.family in ("stargan", "faststyle"))
     for name, d in results.items():
         key = f"{name}_{args.mode}/mean"
         if key in d:

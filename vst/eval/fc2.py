@@ -43,6 +43,7 @@ def calculate_metrics(
     lpips: Optional[LPIPS] = None,
     rng_seed: int = 0,
     quantize_like_png: bool = True,
+    deterministic: bool = False,
 ):
     """style_fn(x_real, y_trg, mode, rng, x_ref) → x_fake for the model under
     test (StarGAN-v2 closes over mapping-network/style-encoder; per-style
@@ -50,6 +51,12 @@ def calculate_metrics(
     from ``x_ref`` (``utils/metrics/eval.py:128``), which is why the batch's
     reference pile is threaded through. Batch dict keys follow
     vst.data.fc2.BATCH_KEYS.
+
+    ``deterministic=True`` declares that style_fn ignores ``rng`` (e.g.
+    StarGAN v1 is a function of (x, y) only): every fake in a sample's
+    chunk is then byte-identical and within-chunk pairwise LPIPS is 0 by
+    construction, so the diversity metric is skipped and annotated rather
+    than reported as a real score.
     """
     assert mode in ("latent", "reference")
     inception = inception or InceptionV3(seed=0)
@@ -115,29 +122,35 @@ def calculate_metrics(
             continue
         tcl_dict[f"TCL_{mode}/{task}"] = float(np.mean(tcl_vals[task]))
 
-        # group fakes by sample → chunks of num_outs_per_domain
-        by_sample: Dict[int, List[np.ndarray]] = {}
-        for img, sid in zip(fakes[task], chunk_ids[task]):
-            by_sample.setdefault(sid, []).append(img)
-        lp_vals = [
-            lpips_pairwise(lpips, [im[None] for im in group])
-            for group in by_sample.values()
-            if len(group) > 1
-        ]
-        if lp_vals:
-            lpips_dict[f"LPIPS_{mode}/{task}"] = float(np.mean(lp_vals))
+        if not deterministic:
+            # group fakes by sample → chunks of num_outs_per_domain
+            by_sample: Dict[int, List[np.ndarray]] = {}
+            for img, sid in zip(fakes[task], chunk_ids[task]):
+                by_sample.setdefault(sid, []).append(img)
+            lp_vals = [
+                lpips_pairwise(lpips, [im[None] for im in group])
+                for group in by_sample.values()
+                if len(group) > 1
+            ]
+            if lp_vals:
+                lpips_dict[f"LPIPS_{mode}/{task}"] = float(np.mean(lp_vals))
 
         ref_act = inception(jnp.asarray(np.stack(refs[task])))
         fake_act = inception(jnp.asarray(np.stack(fakes[task])))
         fid_dict[f"FID_{mode}/{task}"] = fid_from_activations(ref_act, fake_act)
 
+    if deterministic:
+        lpips_dict[f"LPIPS_{mode}/note"] = (
+            "skipped: generator is deterministic in (x, y) — every fake in "
+            "a sample's chunk is identical, so within-chunk pairwise LPIPS "
+            "is degenerate-by-construction (no diversity to measure)")
     backbones = {"LPIPS": getattr(lpips, "backbone", "random-he"),
                  "FID": getattr(inception, "backbone", "random-he")}
     for d, name in ((lpips_dict, "LPIPS"), (fid_dict, "FID"), (tcl_dict, "TCL")):
-        if d:
-            d[f"{name}_{mode}/mean"] = float(
-                np.mean([v for k, v in d.items() if not k.endswith("/mean")])
-            )
+        nums = [v for k, v in d.items()
+                if not k.endswith("/mean") and isinstance(v, float)]
+        if nums:
+            d[f"{name}_{mode}/mean"] = float(np.mean(nums))
             if name in backbones:
                 # label metric-net provenance: "random-he" numbers are a
                 # pipeline test, not comparable to reference magnitudes
