@@ -119,3 +119,79 @@ def test_hd1k_layout(tmp_path):
     i1, i2, f, v = ds[0]
     assert i1.shape == (H, W, 3)  # grayscale replicated to 3ch
     assert v.min() == 1.0
+
+
+def _write_pfm(path, arr):
+    """Color PFM, little-endian (negative scale), rows bottom-to-top —
+    matching vst.flow.io.read_pfm / frame_utils.py readPFM."""
+    h, w = arr.shape[:2]
+    with open(path, "wb") as f:
+        f.write(b"PF\n")
+        f.write(f"{w} {h}\n".encode())
+        f.write(b"-1.0\n")
+        np.flipud(arr.astype("<f4")).tofile(f)
+
+
+def _make_things_tree(root, rng, H=16, W=24, n_frames=3):
+    import imageio.v2 as imageio
+
+    flows = {}
+    for dstype in ("frames_cleanpass", "frames_finalpass"):
+        idir = root / dstype / "TRAIN" / "A" / "0000" / "left"
+        idir.mkdir(parents=True)
+        for i in range(n_frames):
+            imageio.imwrite(idir / f"{i:04d}.png",
+                            (rng.rand(H, W, 3) * 255).astype(np.uint8))
+    for direction in ("into_future", "into_past"):
+        fdir = root / "optical_flow" / "TRAIN" / "A" / "0000" / direction / "left"
+        fdir.mkdir(parents=True)
+        for i in range(n_frames):
+            fl = np.zeros((H, W, 3), np.float32)
+            fl[..., 0] = i + 1.0  # distinguishable per-index flow
+            fl[..., 1] = -(i + 1.0)
+            _write_pfm(fdir / f"{i:04d}.pfm", fl)
+            flows[(direction, i)] = fl[..., :2]
+    return flows
+
+
+def test_flyingthings_layout_and_pfm_read(tmp_path):
+    """FlyingThings3D dir walk + PFM flow read + direction pairing
+    (datasets.py:137-158): into_future pairs (i,i+1)↔flow[i]; into_past
+    pairs (i+1,i)↔flow[i+1]."""
+    from vst.flow.datasets import FlyingThings3D
+
+    rng = np.random.RandomState(2)
+    flows = _make_things_tree(tmp_path, rng)
+
+    ds = FlyingThings3D(str(tmp_path), dstype="frames_cleanpass")
+    # 3 flows → 2 pairs per direction → 4 samples
+    assert len(ds) == 4
+    i1, i2, f, v = ds[0]  # first into_future pair → flow[0]
+    assert f.shape[:2] == (16, 24)
+    np.testing.assert_allclose(f, flows[("into_future", 0)], atol=1e-6)
+    _, _, f_past, _ = ds[2]  # first into_past pair → flow[1]
+    np.testing.assert_allclose(f_past, flows[("into_past", 1)], atol=1e-6)
+
+
+def test_dataset_composition_and_stage_recipes(tmp_path):
+    """__rmul__ oversampling + dispatching concat + the C+T stage recipe
+    (datasets.py:199-230 fetch_dataloader semantics)."""
+    from vst.flow.datasets import (ConcatFlowDataset, FlyingThings3D,
+                                   fetch_flow_datasets)
+
+    rng = np.random.RandomState(3)
+    _make_things_tree(tmp_path, rng)
+
+    clean = FlyingThings3D(str(tmp_path), dstype="frames_cleanpass")
+    final = FlyingThings3D(str(tmp_path), dstype="frames_finalpass")
+    n = len(clean)
+    both = 2 * clean + final
+    assert isinstance(both, ConcatFlowDataset)
+    assert len(both) == 3 * n
+    # index past the first member dispatches into the second
+    i1, _, f, _ = both[2 * n]
+    assert f.shape[-1] == 2
+
+    ds = fetch_flow_datasets(
+        "things", {"things": str(tmp_path)}, crop_size=(8, 12))
+    assert len(ds) == 2 * n

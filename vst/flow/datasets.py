@@ -123,6 +123,18 @@ class FlowDataset:
     def __len__(self):
         return len(self.image_list)
 
+    def __rmul__(self, v: int):
+        """``100 * sintel_clean`` oversampling (datasets.py:93-96)."""
+        self.flow_list = v * self.flow_list
+        self.image_list = v * self.image_list
+        return self
+
+    def __add__(self, other):
+        """``clean + final`` mixture — dispatching concat (the reference
+        rides torch's ConcatDataset), so sparse (KITTI/HD1K) and dense
+        members keep their own read paths."""
+        return ConcatFlowDataset([self, other])
+
     def __getitem__(self, idx):
         import imageio.v2 as imageio
 
@@ -139,11 +151,47 @@ class FlowDataset:
             flow, valid = fv[..., :2], fv[..., 2] > 0.5
             return (img1, img2, flow.astype(np.float32),
                     valid.astype(np.float32))
-        flow = read_flo(self.flow_list[idx])
+        fpath = self.flow_list[idx]
+        if fpath.endswith(".pfm"):  # FlyingThings3D flow storage
+            from vst.flow.io import read_pfm
+
+            flow = read_pfm(fpath)[..., :2]
+        else:
+            flow = read_flo(fpath)
         if self.augmentor is not None:
             img1, img2, flow = self.augmentor(img1, img2, flow)
         valid = (np.abs(flow[..., 0]) < 1000) & (np.abs(flow[..., 1]) < 1000)
         return img1, img2, flow.astype(np.float32), valid.astype(np.float32)
+
+
+class ConcatFlowDataset:
+    """Index-dispatching concatenation of flow datasets (the reference's
+    ``a + b`` goes through torch ConcatDataset, datasets.py:199-224): each
+    item is served by its member dataset, preserving per-member sparse vs
+    dense read paths and augmentors."""
+
+    def __init__(self, parts):
+        self.parts: List = []
+        for p in parts:
+            if isinstance(p, ConcatFlowDataset):
+                self.parts.extend(p.parts)
+            else:
+                self.parts.append(p)
+
+    def __len__(self):
+        return sum(len(p) for p in self.parts)
+
+    def __getitem__(self, idx):
+        if idx < 0:
+            idx += len(self)
+        for p in self.parts:
+            if idx < len(p):
+                return p[idx]
+            idx -= len(p)
+        raise IndexError(idx)
+
+    def __add__(self, other):
+        return ConcatFlowDataset([self, other])
 
 
 class FlyingChairs(FlowDataset):
@@ -229,6 +277,81 @@ class HD1KFlow(FlowDataset):
                 self.flow_list.append(flows[i])
                 self.image_list.append((images[i], images[i + 1]))
             seq_ix += 1
+
+
+class FlyingThings3D(FlowDataset):
+    """FlyingThings3D layout (``utils/raft/raft/datasets.py:137-158``):
+    ``<dstype>/TRAIN/<abc>/<seq>/left`` frame dirs paired with
+    ``optical_flow/TRAIN/<abc>/<seq>/{into_future,into_past}/left`` .pfm
+    flows; into_future pairs (i, i+1) with flow[i], into_past pairs
+    (i+1, i) with flow[i+1]. Left camera only, like the reference."""
+
+    def __init__(self, root: str, dstype: str = "frames_cleanpass",
+                 augmentor: Optional[FlowAugmentor] = None):
+        super().__init__(augmentor)
+        import glob as _glob
+
+        for direction in ("into_future", "into_past"):
+            image_dirs = sorted(_glob.glob(
+                os.path.join(root, dstype, "TRAIN", "*", "*")))
+            image_dirs = [os.path.join(f, "left") for f in image_dirs]
+            flow_dirs = sorted(_glob.glob(
+                os.path.join(root, "optical_flow", "TRAIN", "*", "*")))
+            flow_dirs = [os.path.join(f, direction, "left")
+                         for f in flow_dirs]
+            for idir, fdir in zip(image_dirs, flow_dirs):
+                images = sorted(_glob.glob(os.path.join(idir, "*.png")))
+                flows = sorted(_glob.glob(os.path.join(fdir, "*.pfm")))
+                for i in range(len(flows) - 1):
+                    if direction == "into_future":
+                        self.image_list.append((images[i], images[i + 1]))
+                        self.flow_list.append(flows[i])
+                    else:
+                        self.image_list.append((images[i + 1], images[i]))
+                        self.flow_list.append(flows[i + 1])
+
+
+def fetch_flow_datasets(stage: str, roots: Dict[str, str],
+                        crop_size: Tuple[int, int] = (368, 496),
+                        train_ds: str = "C+T+K+S+H", seed: int = 0):
+    """Stage → composed training dataset, mirroring the reference's
+    ``fetch_dataloader`` recipes (``datasets.py:199-230``): per-stage
+    augmentation scale ranges and the C+T+K+S+H mixture weights
+    (100×sintel_clean + 100×sintel_final + 200×kitti + 5×hd1k + things).
+    ``roots`` maps dataset name → directory ('chairs', 'things', 'sintel',
+    'kitti', 'hd1k'); sparse members (KITTI/HD1K) carry no augmentor (see
+    FlowDataset docstring). Iteration/batching is the caller's (the jitted
+    RAFT training step consumes numpy batches)."""
+
+    def aug(mn, mx, do_flip=True):
+        return FlowAugmentor(crop_size, min_scale=mn, max_scale=mx,
+                             do_flip=do_flip, seed=seed)
+
+    if stage == "chairs":
+        return FlyingChairs(roots["chairs"], split="training",
+                            augmentor=aug(-0.1, 1.0))
+    if stage == "things":
+        clean = FlyingThings3D(roots["things"], dstype="frames_cleanpass",
+                               augmentor=aug(-0.4, 0.8))
+        final = FlyingThings3D(roots["things"], dstype="frames_finalpass",
+                               augmentor=aug(-0.4, 0.8))
+        return clean + final
+    if stage == "sintel":
+        things = FlyingThings3D(roots["things"], dstype="frames_cleanpass",
+                                augmentor=aug(-0.2, 0.6))
+        clean = MpiSintelFlow(roots["sintel"], dstype="clean",
+                              augmentor=aug(-0.2, 0.6))
+        final = MpiSintelFlow(roots["sintel"], dstype="final",
+                              augmentor=aug(-0.2, 0.6))
+        if train_ds == "C+T+K+S+H":
+            kitti = KITTIFlow(roots["kitti"], split="training")
+            hd1k = HD1KFlow(roots["hd1k"])
+            return (100 * clean + 100 * final + 200 * kitti + 5 * hd1k
+                    + things)
+        return 100 * clean + 100 * final + things
+    if stage == "kitti":
+        return KITTIFlow(roots["kitti"], split="training")
+    raise ValueError(f"unknown stage {stage!r}")
 
 
 def flow_sequence_loss(flow_preds, flow_gt, valid, gamma: float = 0.8,
