@@ -1199,6 +1199,26 @@ def main(argv=None):
         n_styles=a.n_styles, n_frames=a.n_frames, hw=tuple(a.hw),
         out_path=a.out_dir + "/demo", show=a.show, seed=a.seed))
 
+    p = sub.add_parser("demo-web",
+                       help="browser GUI demo (the reference PyQt5 app's "
+                            "surface: style buttons, strength slider, "
+                            "resolution/source pickers, snapshot)")
+    _add_common(p)
+    p.add_argument("--source", type=str, default=None,
+                   help="video path, webcam index, or omit for synthetic")
+    p.add_argument("--method", default="huang")
+    p.add_argument("--n-styles", type=int, default=3)
+    p.add_argument("--ckpt-dir", type=str, default=None)
+    p.add_argument("--port", type=int, default=8600)
+    p.add_argument("--max-frames", type=int, default=None,
+                   help="stop after N frames (testing)")
+    p.set_defaults(fn=lambda a: __import__(
+        "vst.cli.webdemo", fromlist=["run_web_demo"]).run_web_demo(
+        port=a.port, max_frames=a.max_frames, source=a.source,
+        ckpt_dir=a.ckpt_dir, method=a.method, n_styles=a.n_styles,
+        hw=tuple(a.hw), out_path=a.out_dir + "/demo", seed=a.seed,
+        platform=a.platform))
+
     p = sub.add_parser("bench")
     p.set_defaults(fn=cmd_bench)
 
