@@ -95,7 +95,11 @@ def main():
         }), flush=True)
         os._exit(3)
 
-    wd = threading.Timer(300.0, _timeout)
+    # 480 s: the tunneled relay has been observed to take >300 s to accept
+    # a client right after releasing another (runs/queue_r5.log bench_r5a
+    # exit=3 while the very next probe passed) — a too-eager watchdog
+    # converts a slow-but-healthy relay into a recorded zero
+    wd = threading.Timer(480.0, _timeout)
     wd.daemon = True
     wd.start()
     float(jnp.ones((8, 8)).sum())  # backend init + one op
