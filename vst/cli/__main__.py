@@ -921,6 +921,115 @@ def cmd_eval_obst(args):
 
 
 
+def cmd_stylize_video(args):
+    """Offline batch video stylization — the production consumer of the
+    batch-throughput path bench.py measures (frames are independent, so
+    offline stylization batches them through ONE program; the reference
+    can only write frames one-by-one, ``fast_style_transfer.py:313-390``).
+    Reads a video file / frame directory / synthetic clip, stylizes in
+    chunks of --batch-size, writes frames + a video, prints a throughput
+    JSON line."""
+    import json as _json
+    import os
+    import time
+
+    import imageio.v2 as imageio
+    import jax
+    import jax.numpy as jnp
+
+    from vst.data.styles import load_style_images
+    from vst.train.faststyle import FastStyleTrainer
+    from vst.train.registry import select_method
+
+    # --- frames ---
+    if args.source and os.path.isdir(args.source):
+        names = sorted(os.listdir(args.source))
+        frames = np.stack([
+            imageio.imread(os.path.join(args.source, f)).astype(np.float32)
+            / 255.0 for f in names if f.lower().endswith((".png", ".jpg"))])
+    elif args.source:
+        import cv2
+
+        cap = cv2.VideoCapture(args.source)
+        got = []
+        while True:
+            ok, bgr = cap.read()
+            if not ok:
+                break
+            got.append(bgr[..., ::-1].astype(np.float32) / 255.0)
+        frames = np.stack(got)
+    else:
+        from vst.data.synthetic import AffineMotionGenerator, _texture
+
+        rng = np.random.RandomState(args.seed)
+        gen = AffineMotionGenerator(crop_hw=tuple(args.hw), seed=args.seed)
+        frames, _, _ = gen.generate(
+            _texture(rng, (args.hw[0] + 96, args.hw[1] + 96)),
+            n_frames=args.n_frames)
+    T, H, W = frames.shape[:3]
+    H4, W4 = H // 4 * 4, W // 4 * 4  # FastStyleNet needs /4 dims
+    frames = frames[:, :H4, :W4]
+
+    # --- model ---
+    cfg = select_method(args.method, n_styles=args.n_styles)
+    styles = load_style_images(args.style_dir, size=256)[:args.n_styles]
+    trainer = FastStyleTrainer(cfg, styles, seed=args.seed)
+    dummy = {"imgs": jnp.zeros((1, cfg.n_frames, H4, W4, 3)),
+             "masks": jnp.zeros((1, cfg.n_frames - 1, H4, W4, 1)),
+             "flows": jnp.zeros((1, cfg.n_frames - 1, H4, W4, 2))}
+    params = trainer.init_state(dummy).params
+    if args.ckpt_dir:
+        from vst.core import Checkpointer
+
+        ck = Checkpointer(args.ckpt_dir)
+        step = ck.latest_step()
+        if step:
+            params = ck.restore(step, params=params)["params"]
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    p = jax.tree.map(lambda v: v.astype(dtype), params)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def stylize(p, imgs):
+        _, out = trainer.model.apply(
+            {"params": p}, imgs, args.strength, args.sid)
+        return jnp.clip(out / 255.0, 0.0, 1.0)
+
+    B = args.batch_size
+    os.makedirs(args.out_dir, exist_ok=True)
+    # warm (compile outside the timed region, like every vst benchmark)
+    warm = jnp.zeros((B, H4, W4, 3), dtype)
+    float(jnp.sum(stylize(p, warm)))
+    outs = []
+    t0 = time.perf_counter()
+    for i in range(0, T, B):
+        chunk = frames[i:i + B]
+        n = chunk.shape[0]
+        if n < B:  # pad the tail chunk — ONE compiled program total
+            chunk = np.concatenate(
+                [chunk, np.zeros((B - n,) + chunk.shape[1:], chunk.dtype)])
+        y = stylize(p, jnp.asarray(chunk, dtype))
+        outs.append(np.asarray(y[:n], np.float32))
+    wall = time.perf_counter() - t0
+    styled = np.concatenate(outs)
+
+    for i, f in enumerate(styled):
+        imageio.imwrite(os.path.join(args.out_dir, f"frame_{i:05d}.png"),
+                        (f * 255).astype(np.uint8))
+    from vst.eval.video import _writer
+
+    vpath, w = _writer(os.path.join(args.out_dir, "styled.mp4"), fps=18)
+    for f in styled:
+        w.append_data((f * 255).astype(np.uint8))
+    w.close()
+    print(_json.dumps({
+        "frames": int(T), "hw": [H4, W4], "batch_size": B,
+        "dtype": "bfloat16" if args.bf16 else "float32",
+        "wall_s": round(wall, 3),
+        "frames_per_sec": round(T / wall, 2), "video": vpath}))
+
+
 def cmd_bench_raft(args):
     """RAFT pair benchmark at Sintel resolution — writes a regenerable
     timing artifact (VERDICT r2 missing #5: the 86 ms/direction claim
@@ -1198,6 +1307,23 @@ def main(argv=None):
         source=a.source, ckpt_dir=a.ckpt_dir, method=a.method,
         n_styles=a.n_styles, n_frames=a.n_frames, hw=tuple(a.hw),
         out_path=a.out_dir + "/demo", show=a.show, seed=a.seed))
+
+    p = sub.add_parser("stylize-video",
+                       help="offline batch video stylization (the "
+                            "batch-throughput production path)")
+    _add_common(p)
+    p.add_argument("--source", type=str, default=None,
+                   help="video file, frame dir, or omit for synthetic")
+    p.add_argument("--method", default="johnson")
+    p.add_argument("--n-styles", type=int, default=3)
+    p.add_argument("--style-dir", type=str, default=None)
+    p.add_argument("--ckpt-dir", type=str, default=None)
+    p.add_argument("--sid", type=int, default=0)
+    p.add_argument("--strength", type=float, default=1.0)
+    p.add_argument("--n-frames", type=int, default=24,
+                   help="synthetic clip length when no --source")
+    p.add_argument("--bf16", action="store_true")
+    p.set_defaults(fn=cmd_stylize_video)
 
     p = sub.add_parser("demo-web",
                        help="browser GUI demo (the reference PyQt5 app's "
