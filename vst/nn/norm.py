@@ -12,13 +12,21 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
     Matches torch.nn.InstanceNorm2d (biased variance, eps inside sqrt).
     x: (B, H, W, C).
+
+    Single-pass stats: E[x²] − E[x]² lets XLA fuse both reductions into
+    ONE traversal of x with the f32 cast folded in, instead of
+    materializing an f32 copy and reading it twice (centered two-pass).
+    On-chip A/B at the FastStyleNet trunk shape: 0.62 vs 0.94 ms
+    (scripts/bisect_res.py). cuDNN's own batch/instance-norm stats use
+    the same formulation; f32 accumulation keeps bf16 activations at
+    ~1e-6 relative drift, and variance is clamped at 0 against f32
+    cancellation for large-magnitude activations.
     """
-    # stats accumulate in f32 even for bf16 activations (H·W-element means
-    # in bf16 lose ~2 decimal digits); output keeps the input dtype
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    var = jnp.mean((xf - mean) ** 2, axis=(1, 2), keepdims=True)
-    return (((xf - mean) / jnp.sqrt(var + eps)).astype(x.dtype))
+    m2 = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True)
+    var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+    return (((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype))
 
 
 class InstanceNorm(nn.Module):
