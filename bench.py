@@ -117,9 +117,12 @@ def main():
     # the production eval path is b1 — but the fast path WON at batch
     # (bf16_b64_fast 4.45 vs natural bf16_b32 5.48), so the b64/b128
     # natural configs below exist to measure what the natural path's peak
-    # throughput actually is post-deletion. The natural forward routes
-    # through the two surviving exact rewrites (s2d 9×9 stem, subpixel
-    # up2 decoder — vst/nn/conv.py).
+    # throughput actually is post-deletion. RESOLVED round 5: natural
+    # bf16_b128 measured 2.44 ms/frame (410 fps) — 1.8× faster than the
+    # deleted fast path's best (artifacts/bench_r5_natural.json); the
+    # kill regressed nothing. The natural forward routes through the two
+    # surviving exact rewrites (s2d 9×9 stem, subpixel up2 decoder —
+    # vst/nn/conv.py).
     configs = [
         ("f32_b1", jnp.float32, 1, "natural"),
         ("bf16_b1", jnp.bfloat16, 1, "natural"),

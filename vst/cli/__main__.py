@@ -1059,10 +1059,20 @@ def cmd_bench_raft(args):
                "weights": "seeded-random (no egress; program identical to "
                           "converted-checkpoint path)"}
     flows = {}
-    for name, enc_dtype in (("f32", None), ("bf16_enc", jnp.bfloat16)):
+    bf16 = jnp.bfloat16
+    # (name, encoder_dtype, update_dtype, pad mult). pad 64 aligns every
+    # corr-pyramid level to the 8-sublane tiling (436->448: 56/28/14/7
+    # rows at levels 1/8..1/64 instead of 55/27/13/6) — candidate fix for
+    # the layout-bound GRU loop (bisect_raft: 5.45 ms/iter, ~5x roofline).
+    variants = (("f32", None, None, 8),
+                ("bf16_enc", bf16, None, 8),
+                ("bf16_full", bf16, bf16, 8),
+                ("f32_pad64", None, None, 64),
+                ("bf16_full_pad64", bf16, bf16, 64))
+    for name, enc_dtype, upd_dtype, pmult in variants:
         raft = RAFT(small=False, iters=args.raft_iters, pallas_lookup=on_tpu,
-                    encoder_dtype=enc_dtype)
-        padder = InputPadder(img1.shape)
+                    encoder_dtype=enc_dtype, update_dtype=upd_dtype)
+        padder = InputPadder(img1.shape, mult=pmult)
         i1, i2 = padder.pad(img1, img2)
         params = raft.init(jax.random.PRNGKey(0), i1, i2)
         a = jnp.concatenate([i1, i2], axis=0)
@@ -1095,7 +1105,7 @@ def cmd_bench_raft(args):
         # vst/eval/sintel.py compute_raft_multi (the fused tcl2 program
         # runs both pairs in one RAFT call at batch 4); x4 is the slope
         # evidence for batching across frames.
-        for mult in (2, 4):
+        for mult in (2, 4) if name in ("f32", "bf16_full_pad64") else ():
             am = jnp.concatenate([a] * mult, axis=0)
             bm = jnp.concatenate([b] * mult, axis=0)
             upm = pair(am, bm)
@@ -1113,10 +1123,13 @@ def cmd_bench_raft(args):
             print(f"{name} x{mult}: {bestm * 1000 / mult:.1f} ms/pair "
                   f"({mult} pairs per program)")
 
-    epe = np.sqrt(((flows["bf16_enc"] - flows["f32"]) ** 2).sum(-1))
     mag = np.sqrt((flows["f32"] ** 2).sum(-1)) + 1e-6
-    results["bf16_vs_f32_epe_mean"] = float(epe.mean())
-    results["bf16_vs_f32_rel_mean"] = float((epe / mag).mean())
+    for name in flows:
+        if name == "f32":
+            continue
+        epe = np.sqrt(((flows[name] - flows["f32"]) ** 2).sum(-1))
+        results[f"{name}_vs_f32_epe_mean"] = float(epe.mean())
+        results[f"{name}_vs_f32_rel_mean"] = float((epe / mag).mean())
     os.makedirs(args.out_dir, exist_ok=True)
     with open(os.path.join(args.out_dir, "raft_timing.json"), "w") as f:
         json.dump(results, f, indent=2, sort_keys=True)

@@ -94,10 +94,14 @@ class InputPadder:
     ``utils/raft/raft/utils/utils.py:7-24`` (mode='sintel' centers the pad;
     otherwise pad bottom/right). Uses replicate padding."""
 
-    def __init__(self, dims, mode: str = "sintel"):
+    def __init__(self, dims, mode: str = "sintel", mult: int = 8):
+        # mult: reference parity is 8 (RAFT's own requirement). mult=64
+        # additionally aligns EVERY corr-pyramid level to the TPU's
+        # 8-sublane tiling (436->448: 1/8 grid 56 rows instead of 55,
+        # then 28/14/7) — a perf option for the latency-bound GRU loop.
         self.ht, self.wd = dims[-3], dims[-2]  # NHWC
-        pad_ht = (((self.ht // 8) + 1) * 8 - self.ht) % 8
-        pad_wd = (((self.wd // 8) + 1) * 8 - self.wd) % 8
+        pad_ht = (((self.ht // mult) + 1) * mult - self.ht) % mult
+        pad_wd = (((self.wd // mult) + 1) * mult - self.wd) % mult
         if mode == "sintel":
             self._pad = [pad_wd // 2, pad_wd - pad_wd // 2, pad_ht // 2, pad_ht - pad_ht // 2]
         else:
