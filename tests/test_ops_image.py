@@ -76,3 +76,18 @@ def test_input_padder_roundtrip(mode, hw):
     assert padded.shape[1] % 8 == 0 and padded.shape[2] % 8 == 0
     unpadded = padder.unpad(padded)
     np.testing.assert_allclose(np.asarray(unpadded), x)
+
+
+def test_input_padder_mult64():
+    # perf option: mult=64 aligns every 1/8..1/64 pyramid level to the
+    # 8-sublane tiling; default mult=8 stays reference-parity
+    x = _rand(1, 436, 1024, 3, seed=7)
+    p = InputPadder(x.shape, mult=64)
+    (padded,) = p.pad(jnp.asarray(x))
+    assert padded.shape == (1, 448, 1024, 3)
+    np.testing.assert_allclose(np.asarray(p.unpad(padded)), x)
+    # interior values are the original image under the centered pad
+    assert InputPadder(x.shape).pad(jnp.asarray(x))[0].shape == (1, 440, 1024, 3)
+    # already-aligned input is untouched
+    z = jnp.zeros((1, 448, 1024, 3))
+    assert InputPadder(z.shape, mult=64).pad(z)[0].shape == z.shape
