@@ -22,7 +22,7 @@ probe() {
 
 wait_healthy() {
   local i
-  for i in $(seq 1 60); do
+  for i in $(seq 1 200); do
     if probe; then
       echo "--- relay healthy (try $i) $(date)" >> "$LOG"
       return 0
