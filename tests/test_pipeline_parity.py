@@ -710,6 +710,20 @@ def _seeded_obst_vgg(mod, tmp_path, seed=20):
 def _drive_ref_obst(mod, tmp_path, monkeypatch, raft_args, weight_tcl,
                     seed_vgg=20, seed_raft=30):
     """Run the reference's own eval_sintel (torch-CPU) and return its JSONs."""
+    # Restore device-copy semantics for .cpu(): on the reference rig
+    # x_fake lives on CUDA and ``x_fake.data[0].cpu()`` COPIES — but on a
+    # CPU-only box .cpu() is an identity ALIAS, and the harness's postpa
+    # mutates its input in place (``x.mul_(1./255)`` + in-place Normalize,
+    # obst_eval.py:312-315 via the per-frame save at :555-559), corrupting
+    # the harness's own styled_past entries after each frame: every later
+    # warm start and the TCL-LT term then consume a [0,1]+mean-space image
+    # instead of the caffe-space styled frame (measured max|d| ≈ 233 —
+    # scripts/debug_obst_parity3.py). This is a torch-CPU-only emulation
+    # artifact, impossible on the CUDA rig that produced the committed
+    # goldens; without this clone the "reference" being compared against
+    # is a behavior the reference itself never exhibits.
+    monkeypatch.setattr(torch.Tensor, "cpu",
+                        lambda self, *a, **k: self.clone())
     sd = _seeded_obst_vgg(mod, tmp_path, seed=seed_vgg)
     H, W = _OBST_HW
     ff_np, bf_np = _const_flows(H, W)
